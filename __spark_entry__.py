@@ -1,10 +1,17 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship: full PageRank pipeline over an edge table
+derived deterministically from the sf0.001 ``documents`` table.
+
+``queries()`` / ``oracle_sql()`` — one entry per operator family from
+SURVEY.md §2 (+ the training-data-pipeline extensions). Graph construction is
+arithmetic over doc_id (portable to ANSI SQL) so DuckDB can cross-check the
+whole dataflow, including a 3-iteration unrolled power method with the exact
+reference numeric semantics (dangling beta, L2-normalized v — SURVEY §1.3).
+
+Iterative ops that SQL cannot express (convergence loops) have ``queries()``
+entries without oracles (rows-only driver check) and are instead verified
+against NumPy oracles in tests/.
 """
 
 from __future__ import annotations
@@ -12,27 +19,558 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+V = 100  # vertex universe for the derived graph (small => sf-stable)
+_A, _C, _M = 1103515245, 12345, 2147483648  # LCG constants for dst derivation
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic url edge table from documents (see sources/synth.py:
+    derive_edges_from_documents) — identical arithmetic in oracle SQL."""
+    from web_search_pagerank_project_spark.sources.synth import (
+        derive_edges_from_documents,
+    )
+
+    return derive_edges_from_documents(_docs(spark, sf_dir), n_vertices=V)
+
+
+_EDGES_SQL = f"""
+    SELECT 'n' || CAST((doc_id * doc_id) % {V} AS VARCHAR) AS src,
+           'n' || CAST(((doc_id * {_A} + {_C}) % {_M}) % {V} AS VARCHAR) AS dst
+    FROM documents
+"""
+
+# weighted edges + vertex count, shared CTE prefix for graph oracles
+_GRAPH_SQL_PREFIX = f"""
+WITH e AS ({_EDGES_SQL}),
+verts AS (
+    SELECT DISTINCT url FROM (
+        SELECT src AS url FROM e UNION ALL SELECT dst AS url FROM e
+    )
+),
+nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM verts),
+mult AS (SELECT src, dst, CAST(COUNT(*) AS DOUBLE) AS m FROM e GROUP BY src, dst),
+outdeg AS (SELECT src, SUM(m) AS od FROM mult GROUP BY src),
+pw AS (
+    SELECT mult.src, mult.dst, mult.m / outdeg.od AS weight
+    FROM mult JOIN outdeg ON mult.src = outdeg.src
+)
+"""
+
+
+def _build_graph(spark: SparkSession, sf_dir: str):
+    from web_search_pagerank_project_spark import build_graph
+
+    return build_graph(_edges(spark, sf_dir), cache=True)
+
+
+# --------------------------------------------------------------------------
+# flagship
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """PageRank to convergence on the sf0.001-derived graph; top 20 urls."""
+    from web_search_pagerank_project_spark import pagerank, search
+
+    graph = _build_graph(spark, "/root/testdata/sf0.001")
+    result = pagerank(graph, alpha=0.85, max_iterations=100, epsilon=1e-6)
+    return search(graph, result, query="", max_results=20)
+
+
+# --------------------------------------------------------------------------
+# queries
+
+
+def q_edge_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O1-O8: scan -> derive -> dictionary-ish weighted edge table."""
+    graph = _build_graph(spark, sf_dir)
+    v = graph.vertices
+    out = (
+        graph.edges.join(v.withColumnRenamed("url", "src_url"), graph.edges.src_id == v.id)
+        .drop("id")
+        .join(
+            v.withColumnRenamed("url", "dst_url").withColumnRenamed("id", "id2"),
+            F.col("dst_id") == F.col("id2"),
+        )
+        .select("src_url", "dst_url", F.round("weight", 6).alias("weight"))
+    )
+    return out
+
+
+def q_in_degree_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O6/O17: in-degree aggregation + deterministic top-k."""
+    e = _edges(spark, sf_dir)
+    return (
+        e.groupBy("dst")
+        .agg(F.count("*").alias("indeg"))
+        .orderBy(F.desc("indeg"), F.asc("dst"))
+        .limit(20)
+    )
+
+
+def q_dangling_vertices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O10: dangling detection via anti-join."""
+    e = _edges(spark, sf_dir)
+    verts = e.select(F.col("src").alias("url")).unionAll(
+        e.select(F.col("dst").alias("url"))
+    ).distinct()
+    return verts.join(
+        e.select(F.col("src").alias("url")).distinct(), "url", "left_anti"
+    ).orderBy("url")
+
+
+def q_pagerank_3iter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O11-O14: three unrolled power-method iterations, exact reference
+    semantics (uniform v => v = x0 = 1/sqrt(n); dangling beta per iter)."""
+    from web_search_pagerank_project_spark import build_graph, pagerank
+
+    graph = build_graph(_edges(spark, sf_dir), cache=True)
+    res = pagerank(graph, alpha=0.85, max_iterations=3, epsilon=0.0)
+    return (
+        res.by_url(graph)
+        .select("url", F.round("rank", 6).alias("score"))
+        .orderBy(F.desc("score"), F.asc("url"))
+    )
+
+
+def q_url_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O18/O19: query predicate (positive OR + negation veto) + rank by
+    in-degree (stand-in score) + top-k."""
+    from web_search_pagerank_project_spark.functions.query import query_predicate
+
+    e = _edges(spark, sf_dir)
+    scored = e.groupBy(F.col("dst").alias("url")).agg(F.count("*").alias("score"))
+    return (
+        scored.filter(query_predicate("n1 n2 -n12", "url"))
+        .orderBy(F.desc("score"), F.asc("url"))
+        .limit(25)
+    )
+
+
+def q_filter_ratio_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O7: in-link-ratio spam filter (keep edge iff indeg(dst) < ratio*n)."""
+    e = _edges(spark, sf_dir)
+    n = (
+        e.select(F.col("src").alias("u"))
+        .unionAll(e.select(F.col("dst").alias("u")))
+        .distinct()
+        .count()
+    )
+    indeg = e.groupBy("dst").agg(F.count("*").alias("indeg"))
+    kept = (
+        e.join(indeg, "dst")
+        .filter(F.col("indeg") < F.lit(0.05) * F.lit(float(n)))
+        .groupBy("src", "dst")
+        .agg(F.count("*").alias("multiplicity"))
+    )
+    return kept.orderBy("src", "dst")
+
+
+def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X6: degree-ordered orientation triangle count (single scalar row)."""
+    from web_search_pagerank_project_spark import build_graph, triangle_count
+
+    graph = build_graph(_edges(spark, sf_dir), cache=True)
+    n = triangle_count(graph)
+    return spark.createDataFrame([(n,)], "triangles long")
+
+
+def q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4: exact CC assignments (url -> component min-url). Iterative —
+    no SQL oracle; verified vs union-find oracle in tests."""
+    from web_search_pagerank_project_spark import build_graph, connected_components
+
+    graph = build_graph(_edges(spark, sf_dir), cache=True)
+    comp = connected_components(graph)
+    lab = comp.join(graph.vertices, "id").select(
+        "url", F.col("component").alias("component_id")
+    )
+    min_urls = graph.vertices.select(
+        F.col("id").alias("component_id"), F.col("url").alias("component_url")
+    )
+    return lab.join(min_urls, "component_id").select("url", "component_url").orderBy("url")
+
+
+def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5: LPA communities (rows-only; NumPy oracle in tests)."""
+    from web_search_pagerank_project_spark import build_graph, label_propagation
+
+    graph = build_graph(_edges(spark, sf_dir), cache=True)
+    labels = label_propagation(graph, max_iterations=5)
+    return (
+        labels.join(graph.vertices, "id")
+        .groupBy("label")
+        .agg(F.count("*").alias("community_size"))
+        .orderBy(F.desc("community_size"), F.asc("label"))
+    )
+
+
+def q_pagerank_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full converged PageRank (iterative; rows-only + NumPy-oracle tests)."""
+    from web_search_pagerank_project_spark import build_graph, pagerank
+
+    graph = build_graph(_edges(spark, sf_dir), cache=True)
+    res = pagerank(graph, max_iterations=100, epsilon=1e-6)
+    return (
+        res.by_url(graph)
+        .select("url", F.round("rank", 6).alias("score"))
+        .orderBy(F.desc("score"), F.asc("url"))
+        .limit(50)
+    )
+
+
+# ---- relational operator coverage over the TPC-H-ish tables ----
+
+
+def q_lineitem_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan + filter + groupBy agg (sum/avg/count)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2001-09-01"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join + agg + top-k across customer/orders."""
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(25)
+    )
+
+
+def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-bucketed aggregation over the events stream table."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (
+        ev.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("hour"), F.col("event_type")
+        )
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .orderBy("hour", "event_type")
+    )
+
+
+def q_events_sessionized_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window functions: per-user event ordering + gap to previous event."""
+    from pyspark.sql import Window
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    epoch = F.col("ts").cast("timestamp").cast("long")  # NTZ -> UTC epoch
+    out = ev.select(
+        "user_id",
+        "event_id",
+        F.row_number().over(w).alias("seq"),
+        (epoch - F.lag(epoch, 1).over(w)).alias("gap_sec"),
+    )
+    return out.filter(F.col("seq") <= 5).orderBy("user_id", "seq")
+
+
+# ---- training-data pipeline ops over documents/embeddings ----
+
+
+def q_exact_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup groups via md5 of normalized text (portable hash)."""
+    docs = _docs(spark, sf_dir)
+    fp = F.md5(F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " "))
+    return (
+        docs.select(fp.alias("fp"), "doc_id")
+        .groupBy("fp")
+        .agg(F.count("*").alias("n_dups"), F.min("doc_id").alias("keep_id"))
+        .filter(F.col("n_dups") > 1)
+        .orderBy("fp")
+    )
+
+
+def q_doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting + punctuation ratio (JVM-side expressions)."""
+    docs = _docs(spark, sf_dir)
+    toks = F.when(F.length(F.trim(F.col("text"))) == 0, F.lit(0)).otherwise(
+        F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    )
+    punct = F.round(
+        (
+            F.length("text")
+            - F.length(F.regexp_replace(F.col("text"), r"[^\w\s]", ""))
+        ).cast("double")
+        / F.greatest(F.length("text"), F.lit(1)).cast("double"),
+        6,
+    )
+    return docs.select(
+        "doc_id", toks.alias("n_tokens"), punct.alias("punct_ratio")
+    ).orderBy("doc_id")
+
+
+def q_lang_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("n_chars"), 2).alias("avg_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k vs the vec_id=0 embedding (exact ANN baseline)."""
+    from web_search_pagerank_project_spark.operators.similarity import cosine_sim
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").cast("array<double>").alias("qv")
+    )
+    return (
+        emb.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != 0)
+        .select(
+            "vec_id",
+            F.round(
+                cosine_sim(F.col("embedding").cast("array<double>"), F.col("qv")), 6
+            ).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(10)
+    )
+
+
+def q_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs (rows-only; exact-Jaccard tests in tests/)."""
+    from web_search_pagerank_project_spark.operators.dedup import minhash_dedup
+
+    docs = _docs(spark, sf_dir)
+    pairs = minhash_dedup(docs, threshold=0.5, num_hashes=64, bands=16)
+    return pairs.orderBy("id_a", "id_b")
+
+
+def q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (rows-only; hamming verified in tests)."""
+    from web_search_pagerank_project_spark.operators.dedup import (
+        simhash_near_dups,
+        simhash_signatures,
+    )
+
+    docs = _docs(spark, sf_dir)
+    sigs = simhash_signatures(docs)
+    return simhash_near_dups(sigs, max_hamming=8).orderBy("id_a", "id_b")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "edge_weights": q_edge_weights,
+        "in_degree_topk": q_in_degree_topk,
+        "dangling_vertices": q_dangling_vertices,
+        "pagerank_3iter": q_pagerank_3iter,
+        "pagerank_converged": q_pagerank_converged,
+        "url_search": q_url_search,
+        "filter_ratio_edges": q_filter_ratio_edges,
+        "triangle_count": q_triangle_count,
+        "connected_components": q_connected_components,
+        "label_propagation": q_label_propagation,
+        "lineitem_pricing_summary": q_lineitem_pricing_summary,
+        "top_customers": q_top_customers,
+        "events_hourly": q_events_hourly,
+        "events_windows": q_events_sessionized_windows,
+        "exact_dup_groups": q_exact_dup_groups,
+        "doc_token_stats": q_doc_token_stats,
+        "lang_distribution": q_lang_distribution,
+        "embedding_topk": q_embedding_topk,
+        "minhash_near_dups": q_minhash_near_dups,
+        "simhash_near_dups": q_simhash_near_dups,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "edge_weights": _GRAPH_SQL_PREFIX
+        + """
+        SELECT src AS src_url, dst AS dst_url, ROUND(weight, 6) AS weight
+        FROM pw
+        """,
+        "in_degree_topk": f"""
+        WITH e AS ({_EDGES_SQL})
+        SELECT dst, COUNT(*) AS indeg FROM e
+        GROUP BY dst ORDER BY indeg DESC, dst LIMIT 20
+        """,
+        "dangling_vertices": f"""
+        WITH e AS ({_EDGES_SQL}),
+        verts AS (
+            SELECT DISTINCT url FROM (
+                SELECT src AS url FROM e UNION ALL SELECT dst AS url FROM e
+            )
+        )
+        SELECT url FROM verts
+        WHERE url NOT IN (SELECT DISTINCT src FROM e)
+        ORDER BY url
+        """,
+        "pagerank_3iter": _GRAPH_SQL_PREFIX
+        + """
+        , x0 AS (SELECT url, 1.0 / sqrt((SELECT n FROM nn)) AS x FROM verts),
+        vv AS (SELECT url, 1.0 / sqrt((SELECT n FROM nn)) AS v FROM verts),
+        dang AS (SELECT url FROM verts WHERE url NOT IN (SELECT DISTINCT src FROM pw)),
+        b1 AS (SELECT 0.85 * COALESCE((SELECT SUM(x) FROM x0 WHERE url IN (SELECT url FROM dang)), 0) + 0.15 AS beta),
+        x1 AS (
+            SELECT vv.url, (SELECT beta FROM b1) * vv.v + 0.85 * COALESCE(c.contrib, 0) AS x
+            FROM vv LEFT JOIN (
+                SELECT pw.dst AS url, SUM(pw.weight * x0.x) AS contrib
+                FROM pw JOIN x0 ON pw.src = x0.url GROUP BY pw.dst
+            ) c ON vv.url = c.url
+        ),
+        b2 AS (SELECT 0.85 * COALESCE((SELECT SUM(x) FROM x1 WHERE url IN (SELECT url FROM dang)), 0) + 0.15 AS beta),
+        x2 AS (
+            SELECT vv.url, (SELECT beta FROM b2) * vv.v + 0.85 * COALESCE(c.contrib, 0) AS x
+            FROM vv LEFT JOIN (
+                SELECT pw.dst AS url, SUM(pw.weight * x1.x) AS contrib
+                FROM pw JOIN x1 ON pw.src = x1.url GROUP BY pw.dst
+            ) c ON vv.url = c.url
+        ),
+        b3 AS (SELECT 0.85 * COALESCE((SELECT SUM(x) FROM x2 WHERE url IN (SELECT url FROM dang)), 0) + 0.15 AS beta),
+        x3 AS (
+            SELECT vv.url, (SELECT beta FROM b3) * vv.v + 0.85 * COALESCE(c.contrib, 0) AS x
+            FROM vv LEFT JOIN (
+                SELECT pw.dst AS url, SUM(pw.weight * x2.x) AS contrib
+                FROM pw JOIN x2 ON pw.src = x2.url GROUP BY pw.dst
+            ) c ON vv.url = c.url
+        )
+        SELECT url, ROUND(x, 6) AS score FROM x3 ORDER BY score DESC, url
+        """,
+        "url_search": f"""
+        WITH e AS ({_EDGES_SQL}),
+        scored AS (SELECT dst AS url, COUNT(*) AS score FROM e GROUP BY dst)
+        SELECT url, score FROM scored
+        WHERE (url LIKE '%n1%' OR url LIKE '%n2%') AND url NOT LIKE '%n12%'
+        ORDER BY score DESC, url LIMIT 25
+        """,
+        "filter_ratio_edges": f"""
+        WITH e AS ({_EDGES_SQL}),
+        verts AS (
+            SELECT DISTINCT url FROM (
+                SELECT src AS url FROM e UNION ALL SELECT dst AS url FROM e
+            )
+        ),
+        indeg AS (SELECT dst, COUNT(*) AS indeg FROM e GROUP BY dst)
+        SELECT e.src, e.dst, COUNT(*) AS multiplicity
+        FROM e JOIN indeg ON e.dst = indeg.dst
+        WHERE indeg.indeg < 0.05 * (SELECT COUNT(*) FROM verts)
+        GROUP BY e.src, e.dst
+        ORDER BY e.src, e.dst
+        """,
+        "triangle_count": _GRAPH_SQL_PREFIX
+        + """
+        , und AS (
+            SELECT DISTINCT LEAST(src, dst) AS u, GREATEST(src, dst) AS v
+            FROM e WHERE src <> dst
+        ),
+        deg AS (
+            SELECT id, COUNT(*) AS d FROM (
+                SELECT u AS id FROM und UNION ALL SELECT v AS id FROM und
+            ) GROUP BY id
+        ),
+        oriented AS (
+            SELECT CASE WHEN (du.d < dv.d) OR (du.d = dv.d AND und.u < und.v)
+                        THEN und.u ELSE und.v END AS a,
+                   CASE WHEN (du.d < dv.d) OR (du.d = dv.d AND und.u < und.v)
+                        THEN und.v ELSE und.u END AS b
+            FROM und
+            JOIN deg du ON und.u = du.id
+            JOIN deg dv ON und.v = dv.id
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS triangles
+        FROM oriented e1
+        JOIN oriented e2 ON e1.b = e2.a
+        JOIN oriented e3 ON e3.a = e1.a AND e3.b = e2.b
+        """,
+        "lineitem_pricing_summary": """
+        SELECT l_returnflag, l_linestatus,
+               ROUND(SUM(l_quantity), 2) AS sum_qty,
+               ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+               ROUND(AVG(l_discount), 6) AS avg_disc,
+               COUNT(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= DATE '2001-09-01'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus
+        """,
+        "top_customers": """
+        SELECT c.c_custkey, c.c_name, ROUND(SUM(o.o_totalprice), 2) AS revenue
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_custkey, c.c_name
+        ORDER BY revenue DESC, c.c_custkey LIMIT 25
+        """,
+        "events_hourly": """
+        SELECT date_trunc('hour', ts) AS hour, event_type,
+               COUNT(*) AS n, ROUND(SUM(value), 2) AS total_value
+        FROM events
+        GROUP BY date_trunc('hour', ts), event_type
+        ORDER BY hour, event_type
+        """,
+        "events_windows": """
+        WITH seqd AS (
+            SELECT user_id, event_id,
+                   ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS seq,
+                   CAST(floor(epoch(ts)) AS BIGINT)
+                     - LAG(CAST(floor(epoch(ts)) AS BIGINT), 1)
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_sec
+            FROM events
+        )
+        SELECT user_id, event_id, CAST(seq AS INT) AS seq, gap_sec
+        FROM seqd WHERE seq <= 5
+        ORDER BY user_id, seq
+        """,
+        "exact_dup_groups": r"""
+        SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+               COUNT(*) AS n_dups, MIN(doc_id) AS keep_id
+        FROM documents
+        GROUP BY 1 HAVING COUNT(*) > 1
+        ORDER BY fp
+        """,
+        "doc_token_stats": r"""
+        SELECT doc_id,
+               CASE WHEN length(trim(text)) = 0 THEN 0
+                    ELSE CAST(array_length(string_split_regex(trim(text), '\s+')) AS INT)
+               END AS n_tokens,
+               ROUND(
+                 CAST(length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g')) AS DOUBLE)
+                 / GREATEST(length(text), 1), 6
+               ) AS punct_ratio
+        FROM documents ORDER BY doc_id
+        """,
+        "lang_distribution": """
+        SELECT lang, COUNT(*) AS n_docs, ROUND(AVG(n_chars), 2) AS avg_chars
+        FROM documents GROUP BY lang ORDER BY lang
+        """,
+        "embedding_topk": """
+        WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0)
+        SELECT vec_id,
+               ROUND(
+                 list_dot_product(CAST(embedding AS DOUBLE[]), (SELECT qv FROM q))
+                 / (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))
+                    * sqrt(list_dot_product((SELECT qv FROM q), (SELECT qv FROM q)))), 6
+               ) AS cosine
+        FROM embeddings WHERE vec_id <> 0
+        ORDER BY cosine DESC, vec_id LIMIT 10
+        """,
+    }

@@ -1,0 +1,99 @@
+"""Loader/graph-build parity vs the oracle loader (quirk tests, SURVEY §1.3)."""
+
+import numpy as np
+
+from conftest import SMALL_EDGES
+from oracle import load_edges as oracle_load
+
+from web_search_pagerank_project_spark import build_graph
+from web_search_pagerank_project_spark.operators.graph_build import (
+    dangling_vertices,
+    in_degrees,
+    out_degrees,
+)
+
+
+def build(spark, rows, **kw):
+    df = spark.createDataFrame(rows, "src string, dst string")
+    return build_graph(df, cache=False, **kw)
+
+
+def weights_by_url(spark, graph):
+    v = {r["id"]: r["url"] for r in graph.vertices.collect()}
+    return {
+        (v[r["src_id"]], v[r["dst_id"]]): r["weight"] for r in graph.edges.collect()
+    }
+
+
+def oracle_weights(rows, **kw):
+    g = oracle_load(rows, **kw)
+    inv = g.index_dict
+    return {
+        (inv[s], inv[t]): w for s, t, w in zip(g.src, g.dst, g.w)
+    }
+
+
+def test_weights_match_oracle(spark):
+    graph = build(spark, SMALL_EDGES)
+    got = weights_by_url(spark, graph)
+    expected = oracle_weights(SMALL_EDGES)
+    assert set(got) == set(expected)
+    for k in expected:
+        assert np.isclose(got[k], expected[k]), k
+
+
+def test_duplicate_edges_sum(spark):
+    rows = [("a", "b"), ("a", "b"), ("a", "c")]
+    graph = build(spark, rows)
+    got = weights_by_url(spark, graph)
+    # outdeg(a)=3 rows; weight(a,b)=2/3, weight(a,c)=1/3
+    assert np.isclose(got[("a", "b")], 2 / 3)
+    assert np.isclose(got[("a", "c")], 1 / 3)
+
+
+def test_vertex_ids_dense_and_sorted(spark):
+    graph = build(spark, SMALL_EDGES)
+    rows = sorted(graph.vertices.collect(), key=lambda r: r["id"])
+    ids = [r["id"] for r in rows]
+    urls = [r["url"] for r in rows]
+    assert ids == list(range(graph.n))
+    assert urls == sorted(urls)  # ids assigned in url sort order
+
+
+def test_filter_ratio_keeps_vertices(spark):
+    graph = build(spark, SMALL_EDGES, filter_ratio=0.3)
+    # edges into "2" (indeg 2 >= 0.3*6) are dropped, vertex kept
+    assert graph.n == 6
+    got = weights_by_url(spark, graph)
+    assert not any(dst == "2" for _, dst in got)
+    expected = oracle_weights(SMALL_EDGES, filter_ratio=0.3)
+    assert set(got) == set(expected)
+
+
+def test_degrees_and_dangling(spark):
+    graph = build(spark, SMALL_EDGES)
+    v = {r["url"]: r["id"] for r in graph.vertices.collect()}
+    outd = {r["src_id"]: r["outdeg"] for r in out_degrees(graph).collect()}
+    ind = {r["dst_id"]: r["indeg"] for r in in_degrees(graph).collect()}
+    assert outd[v["3"]] == 3
+    assert v["2"] not in outd  # dangling
+    assert ind[v["4"]] == 2
+    dang = {r["id"] for r in dangling_vertices(graph).collect()}
+    assert dang == {v["2"]}
+
+
+def test_max_nnz_limit(spark):
+    from web_search_pagerank_project_spark.sources.edges import read_edge_csv
+    import gzip, os, tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, "edges.csv.gz")
+        with gzip.open(p, "wt") as f:
+            f.write("source,target\n")
+            for s, t in SMALL_EDGES:
+                f.write(f"{s},{t}\n")
+        df = read_edge_csv(spark, p, max_nnz=4)
+        # reference keeps max_nnz+1 rows (off-by-one, pagerank.py:36-37)
+        assert df.count() == 5
+        full = read_edge_csv(spark, p)
+        assert full.count() == 10

@@ -1,0 +1,103 @@
+"""Query predicate (O18), personalization (O15), search sink (O17/O19/O21)."""
+
+import numpy as np
+import pytest
+
+from conftest import SMALL_EDGES
+
+from web_search_pagerank_project_spark import (
+    build_graph,
+    make_personalization_vector,
+    pagerank,
+    search,
+)
+from web_search_pagerank_project_spark.functions.query import query_predicate
+
+from pyspark.sql import functions as F
+
+DOCTEST_URL = "www.lawfareblog.com/covid-19-speech"
+DOCTEST_CASES = [
+    ("covid", True),
+    ("coronavirus covid", True),
+    ("coronavirus", False),
+    ("covid -speech", False),
+    ("covid -corona", True),
+    ("-speech", False),
+    ("-corona", True),
+    ("", True),
+]
+
+
+def test_query_predicate_doctable(spark):
+    df = spark.createDataFrame([(DOCTEST_URL,)], "url string")
+    for q, expected in DOCTEST_CASES:
+        got = df.select(query_predicate(q, "url").alias("m")).collect()[0]["m"]
+        assert got is expected, q
+
+
+def test_query_predicate_synonyms(spark):
+    df = spark.createDataFrame([(DOCTEST_URL,)], "url string")
+    # 'coronavirus' alone fails, but with synonym 'covid' it matches
+    got = df.select(
+        query_predicate("coronavirus", "url", {"coronavirus": ["covid"]}).alias("m")
+    ).collect()[0]["m"]
+    assert got is True
+
+
+def test_personalization_normalization(spark):
+    df = spark.createDataFrame(SMALL_EDGES, "src string, dst string")
+    graph = build_graph(df, cache=False)
+    v = make_personalization_vector(graph, None)
+    vals = [r["v"] for r in v.collect()]
+    assert np.isclose(sum(vals), 1.0)
+    v4 = make_personalization_vector(graph, "4")
+    rows = {r["id"]: r["v"] for r in v4.collect()}
+    urls = {r["url"]: r["id"] for r in graph.vertices.collect()}
+    assert np.isclose(rows[urls["4"]], 1.0)
+    assert sum(1 for x in rows.values() if x > 0) == 1
+    assert len(rows) == 6  # dense vector incl. zeros
+
+
+def test_personalization_empty_match_raises(spark):
+    df = spark.createDataFrame(SMALL_EDGES, "src string, dst string")
+    graph = build_graph(df, cache=False)
+    with pytest.raises(ValueError):
+        make_personalization_vector(graph, "nomatch")
+
+
+def test_search_top_k(spark):
+    df = spark.createDataFrame(SMALL_EDGES, "src string, dst string")
+    graph = build_graph(df, cache=True)
+    res = pagerank(graph)
+    out = search(graph, res, query="", max_results=3).collect()
+    assert [r["url"] for r in out] == ["4", "6", "5"]
+    # negation: exclude "4"
+    out2 = search(graph, res, query="-4", max_results=10).collect()
+    assert "4" not in {r["url"] for r in out2}
+    # positive term: only urls containing "5"
+    out3 = search(graph, res, query="5", max_results=10).collect()
+    assert {r["url"] for r in out3} == {"5"}
+    graph.unpersist()
+
+
+def test_search_synonym_rescoring(spark):
+    df = spark.createDataFrame(
+        [("covid-news", "covid-speech"), ("covid-speech", "corona-bill"),
+         ("corona-bill", "covid-news")],
+        "src string, dst string",
+    )
+    graph = build_graph(df, cache=True)
+    res = pagerank(graph, max_iterations=20)
+    syn = {"corona": [("covid", 0.9), ("corona", 1.0)]}
+    out = search(graph, res, query="corona", max_results=10, synonyms=syn).collect()
+    # with synonyms, covid-* urls match too
+    urls = {r["url"] for r in out}
+    assert "covid-news" in urls and "corona-bill" in urls
+    # ranking = pagerank * sum(count(word)*sim^50); spot-check one row
+    ranks = {r["url"]: r["rank"] for r in res.by_url(graph).collect()}
+    scored = {r["url"]: r["ranking"] for r in out}
+    # corona-bill contains 'corona' once (sim 1.0) and 'covid' zero times
+    assert np.isclose(scored["corona-bill"], ranks["corona-bill"] * 1.0)
+    # covid-news contains 'covid' once -> 0.9^50
+    assert np.isclose(scored["covid-news"], ranks["covid-news"] * 0.9**50)
+    graph.unpersist()

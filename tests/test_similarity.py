@@ -1,0 +1,66 @@
+"""ANN similarity search: brute-force is the oracle for the LSH path."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from web_search_pagerank_project_spark.operators.similarity import (
+    all_pairs_above,
+    brute_force_topk,
+    lsh_topk,
+)
+
+DIM = 16
+N = 300
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark):
+    rng = np.random.default_rng(42)
+    base = rng.standard_normal((N, DIM))
+    # make ids 100..104 near-duplicates of id 0
+    for i in range(100, 105):
+        base[i] = base[0] + 0.01 * rng.standard_normal(DIM)
+    rows = [(i, [float(x) for x in base[i]], int(i % 3)) for i in range(N)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    return df, base
+
+
+def numpy_topk(base, q, k):
+    sims = base @ q / (np.linalg.norm(base, axis=1) * np.linalg.norm(q))
+    order = np.lexsort((np.arange(len(sims)), -sims))
+    return [int(i) for i in order[:k]]
+
+
+def test_brute_force_matches_numpy(spark, embeddings):
+    df, base = embeddings
+    q = [float(x) for x in base[0]]
+    got = brute_force_topk(df, q, k=8)
+    ids = [r["id"] for r in got.collect()]
+    # float32 storage wobble can swap near-ties; compare as sets with the
+    # guaranteed near-dups present
+    expected = numpy_topk(base.astype(np.float32).astype(np.float64), np.array(q), 8)
+    assert ids[0] == 0
+    assert set(ids) == set(expected)
+
+
+def test_lsh_topk_recall(spark, embeddings):
+    df, base = embeddings
+    q = [float(x) for x in base[0]]
+    exact = {r["id"] for r in brute_force_topk(df, q, k=6).collect()}
+    approx = {r["id"] for r in lsh_topk(df, q, k=6, bands=8, planes_per_band=6).collect()}
+    # near-dup cluster of q must be recalled
+    assert 0 in approx
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, (exact, approx)
+
+
+def test_all_pairs_above_finds_planted_cluster(spark, embeddings):
+    df, _ = embeddings
+    pairs = all_pairs_above(df, threshold=0.99, bands=8, planes_per_band=6)
+    found = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    cluster = {0, 100, 101, 102, 103, 104}
+    planted = {(a, b) for a in cluster for b in cluster if a < b}
+    assert planted <= found
+    # no wild false positives: every found pair truly has cosine >= threshold
+    assert all(r["cosine"] >= 0.99 for r in pairs.collect())

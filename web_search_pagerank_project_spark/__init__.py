@@ -1,0 +1,42 @@
+"""web_search_pagerank_project_spark — a from-scratch PySpark-native link-graph
+analytics engine with the query/data-processing capabilities of the reference
+``Yugi00/Web_Search_Pagerank_Project`` (see SURVEY.md), re-expressed Spark-first.
+
+Public API:
+
+    from web_search_pagerank_project_spark import (
+        get_spark, GraphTables, build_graph, read_edge_csv,
+        pagerank, connected_components, label_propagation, triangle_count,
+        search, make_personalization_vector,
+    )
+"""
+
+from .session import get_spark
+from .sources.edges import read_edge_csv, read_edge_parquet, edges_from_dataframe
+from .operators.graph_build import GraphTables, build_graph
+from .operators.pagerank import pagerank, PageRankResult
+from .operators.components import connected_components
+from .operators.labelprop import label_propagation
+from .operators.triangles import triangle_count
+from .functions.query import query_predicate, make_personalization_vector
+from .plans.pipeline import search, run_pipeline
+
+__all__ = [
+    "get_spark",
+    "read_edge_csv",
+    "read_edge_parquet",
+    "edges_from_dataframe",
+    "GraphTables",
+    "build_graph",
+    "pagerank",
+    "PageRankResult",
+    "connected_components",
+    "label_propagation",
+    "triangle_count",
+    "query_predicate",
+    "make_personalization_vector",
+    "search",
+    "run_pipeline",
+]
+
+__version__ = "0.1.0"

@@ -1,0 +1,15 @@
+from .graph_build import GraphTables, build_graph
+from .pagerank import pagerank, PageRankResult
+from .components import connected_components
+from .labelprop import label_propagation
+from .triangles import triangle_count
+
+__all__ = [
+    "GraphTables",
+    "build_graph",
+    "pagerank",
+    "PageRankResult",
+    "connected_components",
+    "label_propagation",
+    "triangle_count",
+]

@@ -1,0 +1,319 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Five escalating strategies over a ``documents``-shaped table, all expressed
+so the heavy lifting stays in JVM aggregations/joins (SURVEY round-1 brief):
+
+  exact_dedup         hash-groupBy on a normalized fingerprint; keeps the
+                      min-id representative. One shuffle on a 8-byte key.
+  minhash_lsh_*       shingle -> minhash signature (vectorized numpy inside
+                      mapInPandas) -> LSH banding -> bucket self-join ->
+                      candidate pairs verified by exact Jaccard. The classic
+                      MMDS ch.3 pipeline; band join keys are (band, hash) so
+                      hot buckets are bounded by banding, and candidate
+                      verification is a pair-wise join, never O(n^2).
+  simhash_dedup       64-bit simhash of token multiset; near-dups = Hamming
+                      distance <= k, found by the Charikar pigeonhole trick
+                      (split into k+1 blocks; equal-block bucket join).
+  ngram_jaccard_pairs exact character-n-gram Jaccard for candidate pairs
+                      (verification primitive; also standalone for small n).
+  embedding_near_dups cosine >= threshold over an embedding column — see
+                      operators/similarity.py for the ANN machinery.
+
+At 100 TB: every strategy shuffles only (key, id) pairs or fixed-width
+signatures, never raw text; signatures are computed in one Arrow-batched scan.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, LongType, StructField, StructType
+
+from ..functions.textstats import fingerprint
+
+
+# ---------------------------------------------------------------- exact ----
+
+def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Keep one representative (min id) per normalized-text fingerprint."""
+    w = Window.partitionBy("_fp").orderBy(F.col(id_col).asc())
+    return (
+        docs.withColumn("_fp", fingerprint(text_col))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_fp", "_rn")
+    )
+
+
+def exact_dup_groups(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(fingerprint, n_dups, min_id) for groups with >1 member."""
+    return (
+        docs.select(fingerprint(text_col).alias("fp"), F.col(id_col))
+        .groupBy("fp")
+        .agg(F.count("*").alias("n_dups"), F.min(id_col).alias("keep_id"))
+        .filter(F.col("n_dups") > 1)
+    )
+
+
+# -------------------------------------------------------------- minhash ----
+
+_MERSENNE = (1 << 61) - 1
+
+
+def _minhash_params(num_hashes: int, seed: int = 42) -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, _MERSENNE, size=num_hashes, dtype=np.int64)
+    b = rng.integers(0, _MERSENNE, size=num_hashes, dtype=np.int64)
+    return a, b
+
+
+def _shingle_hashes(text: str, k: int) -> np.ndarray:
+    """Word k-shingles -> stable 61-bit hashes (python hash is salted; use a
+    explicit polynomial hash for determinism across executors)."""
+    toks = text.lower().split()
+    if len(toks) < k:
+        shingles = [" ".join(toks)] if toks else [""]
+    else:
+        shingles = [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
+    out = np.empty(len(shingles), dtype=np.int64)
+    for i, s in enumerate(shingles):
+        h = np.uint64(1469598103934665603)
+        for ch in s.encode():
+            h = (h ^ np.uint64(ch)) * np.uint64(1099511628211)
+        out[i] = np.int64(h >> np.uint64(3))
+    return out
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 64,
+    shingle_k: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """(id, sig: array<long>) — one Arrow-batched pass; numpy broadcasting
+    computes all `num_hashes` permutations per batch at C speed."""
+    a, b = _minhash_params(num_hashes, seed)
+    schema = StructType(
+        [
+            StructField("id", LongType()),
+            StructField("sig", ArrayType(LongType())),
+        ]
+    )
+    src = docs.select(F.col(id_col).cast("long").alias("id"), F.col(text_col).alias("t"))
+
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        with np.errstate(over="ignore"):
+            for pdf in it:
+                ids, sigs = [], []
+                for i, t in zip(pdf["id"], pdf["t"]):
+                    sh = _shingle_hashes(t or "", shingle_k)
+                    # (H, S) affine permutations mod Mersenne prime, min over S
+                    vals = (a[:, None] * sh[None, :] + b[:, None]) % _MERSENNE
+                    sigs.append(vals.min(axis=1).tolist())
+                    ids.append(i)
+                yield pd.DataFrame({"id": ids, "sig": sigs})
+
+    return src.mapInPandas(gen, schema=schema)
+
+
+def minhash_lsh_candidates(
+    signatures: DataFrame, bands: int = 16, rows_per_band: int = 4
+) -> DataFrame:
+    """LSH banding: equal band-slice -> candidate pair (id_a < id_b).
+    Output: (id_a, id_b) distinct."""
+    assert bands * rows_per_band <= 1024
+    banded = signatures.select(
+        "id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(
+                        F.concat_ws(
+                            ",",
+                            *[
+                                F.col("sig")[i].cast("string")
+                                for i in range(b * rows_per_band, (b + 1) * rows_per_band)
+                            ],
+                        )
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band", "bucket"),
+    )
+    left = banded.select(
+        F.col("band").alias("b1"), F.col("bucket").alias("k1"), F.col("id").alias("id_a")
+    )
+    right = banded.select(
+        F.col("band").alias("b2"), F.col("bucket").alias("k2"), F.col("id").alias("id_b")
+    )
+    return (
+        left.join(
+            right,
+            (F.col("b1") == F.col("b2"))
+            & (F.col("k1") == F.col("k2"))
+            & (F.col("id_a") < F.col("id_b")),
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def minhash_jaccard_estimate(signatures: DataFrame, candidates: DataFrame) -> DataFrame:
+    """(id_a, id_b, jaccard_est) — fraction of equal signature slots."""
+    sa = signatures.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
+    sb = signatures.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
+    return (
+        candidates.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.size(
+                    F.filter(
+                        F.zip_with(
+                            "sig_a", "sig_b", lambda x, y: (x == y).cast("int")
+                        ),
+                        lambda z: z == 1,
+                    )
+                ).cast("double")
+                / F.size("sig_a").cast("double")
+            ).alias("jaccard_est"),
+        )
+    )
+
+
+def minhash_dedup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Full near-dup pipeline -> (id_a, id_b, jaccard_est) pairs above
+    threshold. Caller removes one side (usually max id) to dedup."""
+    sigs = minhash_signatures(docs, id_col, text_col, num_hashes, shingle_k).persist()
+    cands = minhash_lsh_candidates(sigs, bands, num_hashes // bands)
+    pairs = minhash_jaccard_estimate(sigs, cands).filter(
+        F.col("jaccard_est") >= threshold
+    )
+    return pairs
+
+
+# -------------------------------------------------------------- simhash ----
+
+def simhash_signatures(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, simhash: long) — 64-bit Charikar simhash over unigram multiset,
+    computed vectorized in Arrow batches."""
+    src = docs.select(F.col(id_col).cast("long").alias("id"), F.col(text_col).alias("t"))
+    schema = "id long, simhash long"
+
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        with np.errstate(over="ignore"):
+            for pdf in it:
+                out = []
+                for i, t in zip(pdf["id"], pdf["t"]):
+                    toks = (t or "").lower().split()
+                    acc = np.zeros(64, dtype=np.int64)
+                    for tok in toks:
+                        h = np.uint64(1469598103934665603)
+                        for ch in tok.encode():
+                            h = (h ^ np.uint64(ch)) * np.uint64(1099511628211)
+                        bits = (
+                            (h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
+                        ).astype(np.int64)
+                        acc += np.where(bits == 1, 1, -1)
+                    sh = 0
+                    for bit in range(64):
+                        if acc[bit] > 0:
+                            sh |= 1 << bit
+                    # store as signed 64-bit
+                    out.append((int(i), np.int64(np.uint64(sh)).item()))
+                yield pd.DataFrame(out, columns=["id", "simhash"])
+
+    return src.mapInPandas(gen, schema=schema)
+
+
+def simhash_near_dups(signatures: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """(id_a, id_b, hamming) pairs with Hamming distance <= max_hamming via
+    the pigeonhole block join: split 64 bits into max_hamming+1 blocks; any
+    pair within distance k agrees exactly on >= 1 block."""
+    nblocks = max_hamming + 1
+    width = 64 // nblocks
+
+    def block(col, b):
+        # unsigned shift then mask
+        return F.shiftrightunsigned(col, b * width).bitwiseAND(F.lit((1 << width) - 1))
+
+    blocked = signatures.select(
+        "id",
+        "simhash",
+        F.posexplode(
+            F.array(*[block(F.col("simhash"), b) for b in range(nblocks)])
+        ).alias("blk", "key"),
+    )
+    left = blocked.select(
+        F.col("blk").alias("blk_a"), F.col("key").alias("key_a"),
+        F.col("id").alias("id_a"), F.col("simhash").alias("sh_a"),
+    )
+    right = blocked.select(
+        F.col("blk").alias("blk_b"), F.col("key").alias("key_b"),
+        F.col("id").alias("id_b"), F.col("simhash").alias("sh_b"),
+    )
+    cand = left.join(
+        right,
+        (F.col("blk_a") == F.col("blk_b"))
+        & (F.col("key_a") == F.col("key_b"))
+        & (F.col("id_a") < F.col("id_b")),
+    ).dropDuplicates(["id_a", "id_b"])
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return cand.select(
+        "id_a", "id_b", hamming.alias("hamming")
+    ).filter(F.col("hamming") <= max_hamming)
+
+
+# -------------------------------------------------- n-gram jaccard ----------
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    candidates: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Exact word-n-gram Jaccard for given candidate (id_a, id_b) pairs —
+    JVM-side via array_intersect/array_union over shingle arrays."""
+    toks = F.split(F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " "), " ")
+    sz = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(sz - n, F.lit(0)))
+    shingles = F.when(sz < n, F.array(F.concat_ws(" ", toks))).otherwise(
+        F.array_distinct(
+            F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+        )
+    )
+    sh = docs.select(F.col(id_col).cast("long").alias("id"), shingles.alias("sh"))
+    a = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    return (
+        candidates.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.when(union == 0, 0.0).otherwise(inter / union).alias("jaccard"),
+        )
+    )

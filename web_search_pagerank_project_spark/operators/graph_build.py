@@ -1,0 +1,189 @@
+"""Graph construction: url edge list -> dictionary-encoded weighted edge table.
+
+Implements the reference ingest pipeline (/root/reference/pagerank.py:18-74)
+as declarative DataFrame operations (SURVEY.md §2.1 O1-O9):
+
+  1. regex drop        — skip edge when src OR dst matches ``(/$)|(/.*/)``
+                         (pagerank.py:38-41); Catalyst pushes this into the scan.
+  2. vertex dictionary — dense contiguous int64 ids over distinct urls
+                         (pagerank.py:77-83). Id *order* is engine-defined
+                         (sorted by url) — scores are permutation-equivariant
+                         (SURVEY.md §1.3.5), so tests compare per url.
+  3. in-degree         — per-dst row counts, pre-filter (pagerank.py:29-30,44).
+  4. filter_ratio      — keep edge iff indeg(dst) < ratio * n, where n is the
+                         post-regex PRE-filter vertex count and the vertex
+                         dictionary is NOT shrunk by filtering
+                         (pagerank.py:47-53, README.md:226-233).
+  5. weights           — weight(s,t) = multiplicity(s,t) / outdeg(s), equal to
+                         the reference's run-length 1/outdeg values with
+                         torch-COO duplicate summation (SURVEY.md §1.3.4) on
+                         sorted input, and well-defined on unsorted input.
+
+Scale design: dense-id assignment avoids a single global window (which would
+serialize on one task at 10^12 urls) by using a range-partitioned two-pass —
+per-partition ``row_number`` plus collected per-partition offsets (K scalar
+rows to the driver). Joins url->id are plain equi-joins that AQE turns into
+broadcast joins when the dictionary is small and sort-merge otherwise.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# Python re.match(r'.*((/$)|(/.*/)).*') anchors at start but the leading '.*'
+# makes it a containment test; rlike has containment semantics already.
+URL_DROP_PATTERN = r"(/$)|(/.*/)"
+
+
+@dataclass
+class GraphTables:
+    """The engine's graph substrate.
+
+    vertices:       (id: long, url: string)            — dense ids [0, n)
+    edges:          (src_id: long, dst_id: long, weight: double)
+                    weight = multiplicity/outdeg(src); duplicates collapsed
+    n:              vertex count (len of dictionary, incl. filtered-out dsts)
+    """
+
+    vertices: DataFrame
+    edges: DataFrame
+    n: int
+
+    def unpersist(self) -> None:
+        for df in (self.vertices, self.edges):
+            try:
+                df.unpersist()
+            except Exception:
+                pass
+
+
+def drop_bad_urls(edges: DataFrame) -> DataFrame:
+    """Reference regex drop (pagerank.py:38-41), JVM-side via rlike."""
+    return edges.filter(
+        ~F.col("src").rlike(URL_DROP_PATTERN) & ~F.col("dst").rlike(URL_DROP_PATTERN)
+    )
+
+
+def assign_dense_ids(urls: DataFrame, id_col: str = "id", num_partitions: int | None = None) -> DataFrame:
+    """Assign dense contiguous int64 ids to a distinct `url` column.
+
+    Scalable dictionary encode: range-partition by url, number rows within
+    each partition (cheap local sort), then add collected per-partition
+    offsets. Only K tiny rows hit the driver; no global single-partition
+    window. Resulting order is global lexicographic — deterministic.
+    """
+    spark = urls.sparkSession
+    if num_partitions is None:
+        num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+
+    parts = (
+        urls.repartitionByRange(num_partitions, "url")
+        .withColumn("_pid", F.spark_partition_id())
+    )
+    w = Window.partitionBy("_pid").orderBy("url")
+    local = parts.withColumn("_rn", F.row_number().over(w) - F.lit(1))
+    # per-partition counts -> exclusive prefix offsets (tiny driver-side step)
+    counts = {
+        r["_pid"]: r["cnt"]
+        for r in local.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()
+    }
+    offsets, acc = {}, 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    offset_df = spark.createDataFrame(
+        [(pid, off) for pid, off in offsets.items()], "_pid int, _off long"
+    )
+    return (
+        local.join(F.broadcast(offset_df), "_pid")
+        .select((F.col("_off") + F.col("_rn")).cast("long").alias(id_col), "url")
+    )
+
+
+def build_graph(
+    edges: DataFrame,
+    filter_ratio: float | None = None,
+    num_partitions: int | None = None,
+    cache: bool = True,
+) -> GraphTables:
+    """url edge list (src, dst) -> GraphTables per reference semantics.
+
+    The weighted edge table is persisted pre-partitioned by ``src_id`` so the
+    per-iteration SpMV join shuffles only the (small) rank vector, never the
+    edges (SURVEY.md §4.3 stable co-partitioning).
+    """
+    spark = edges.sparkSession
+    if num_partitions is None:
+        num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+
+    clean = drop_bad_urls(edges)
+
+    # vertex dictionary over BOTH endpoints, pre-filter_ratio (reference dict
+    # keeps vertices whose every edge is later filtered away)
+    urls = (
+        clean.select(F.col("src").alias("url"))
+        .unionAll(clean.select(F.col("dst").alias("url")))
+        .distinct()
+    )
+    vertices = assign_dense_ids(urls, num_partitions=num_partitions)
+    if cache:
+        vertices = vertices.persist()
+    n = vertices.count()
+
+    # encode both endpoints (two equi-joins; AQE broadcasts small dictionaries)
+    e = (
+        clean.join(vertices.withColumnRenamed("url", "src"), "src")
+        .withColumnRenamed("id", "src_id")
+        .join(vertices.withColumnRenamed("url", "dst"), "dst")
+        .withColumnRenamed("id", "dst_id")
+        .select("src_id", "dst_id")
+    )
+
+    if filter_ratio is not None:
+        # in-degree counts rows pre-filter (pagerank.py:29-30); threshold uses
+        # the pre-filter vertex count n (pagerank.py:51)
+        indeg = e.groupBy("dst_id").agg(F.count("*").alias("indeg"))
+        hot = indeg.filter(F.col("indeg") >= F.lit(filter_ratio) * F.lit(float(n)))
+        # hot set is small by construction -> broadcast anti-join
+        e = e.join(F.broadcast(hot.select("dst_id")), "dst_id", "left_anti")
+
+    # multiplicity + out-degree -> weights (duplicates collapse into weight)
+    mult = e.groupBy("src_id", "dst_id").agg(F.count("*").alias("mult"))
+    outdeg = mult.groupBy("src_id").agg(F.sum("mult").alias("outdeg"))
+    weighted = (
+        mult.join(outdeg, "src_id")
+        .select(
+            "src_id",
+            "dst_id",
+            (F.col("mult").cast("double") / F.col("outdeg").cast("double")).alias(
+                "weight"
+            ),
+        )
+        .repartition(num_partitions, "src_id")
+    )
+    if cache:
+        weighted = weighted.persist()
+        weighted.count()  # materialize so iterations never re-derive lineage
+
+    return GraphTables(vertices=vertices, edges=weighted, n=n)
+
+
+def in_degrees(graph: GraphTables) -> DataFrame:
+    """(dst_id, indeg) over the weighted (deduped) edge table."""
+    return graph.edges.groupBy("dst_id").agg(F.count("*").alias("indeg"))
+
+
+def out_degrees(graph: GraphTables) -> DataFrame:
+    """(src_id, outdeg) over the weighted (deduped) edge table."""
+    return graph.edges.groupBy("src_id").agg(F.count("*").alias("outdeg"))
+
+
+def dangling_vertices(graph: GraphTables) -> DataFrame:
+    """(id) of vertices with zero out-edges — the reference's ``a`` indicator
+    (ws_pagerank.py:146-151) as a left-anti join instead of an O(n) loop."""
+    return graph.vertices.select("id").join(
+        graph.edges.select(F.col("src_id").alias("id")).distinct(), "id", "left_anti"
+    )

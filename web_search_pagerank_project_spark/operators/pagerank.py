@@ -1,0 +1,223 @@
+"""Damped power-iteration PageRank as DataFrame joins/aggregations.
+
+Exact numeric semantics of the reference power method
+(/root/reference/ws_pagerank.py:121-178; SURVEY.md §1.3), in float64:
+
+    v    = v / ||v||_2                  (input v is L1-normalized upstream)
+    x0   = ones(n) / sqrt(n)
+    a[i] = 1  iff outdeg(i) == 0        (dangling; left-anti join, not a loop)
+    loop: beta = alpha * (x . a) + (1 - alpha)
+          x    = beta * v + alpha * P^T x
+          stop when ||x - x_prev||_2 < epsilon
+
+The iterate is intentionally NOT re-normalized (the reference never does), so
+the fixed point is a scaled PageRank vector; tests compare per-url against the
+float64 NumPy oracle (tests/oracle.py) at atol=1e-6.
+
+Execution design (SURVEY.md §4.3) — one Spark action per iteration:
+
+  * The static weighted edge table is persisted pre-partitioned by ``src_id``
+    (graph_build), so each iteration's SpMV join re-shuffles only the rank
+    vector, never the edges.
+  * ``beta`` (dangling mass) is folded into the same plan as the new iterate
+    via a broadcast scalar-aggregate cross join — no separate driver round
+    trip for it.
+  * The residual L2-norm aggregate is the single per-iteration action; it
+    also materializes the lazily local-checkpointed new iterate.
+  * ``localCheckpoint`` every iteration truncates both RDD lineage and the
+    logical plan, keeping Catalyst analysis O(1) per iteration instead of
+    O(iteration depth) (iterative-lineage blowup, SURVEY.md §7.3).
+  * Hub skew in the contribution aggregation is handled map-side by partial
+    aggregation (hash agg combines per task before the shuffle) plus AQE
+    skew-join splitting; an explicit salted two-phase variant is available
+    via ``salt_partitions`` (SURVEY.md X7) for extreme hubs.
+  * Optional durable checkpointing (``checkpointer``) writes per-iteration
+    state + lineage metadata for resumability (operators/checkpoint.py).
+"""
+
+from __future__ import annotations
+
+import math
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .graph_build import GraphTables, dangling_vertices
+
+
+@dataclass
+class IterationMetrics:
+    iteration: int
+    residual: float
+    wall_ms: float
+
+
+@dataclass
+class PageRankResult:
+    """ranks: (id: long, rank: double); join graph.vertices for urls."""
+
+    ranks: DataFrame
+    iterations: int
+    converged: bool
+    residuals: list[float] = field(default_factory=list)
+    metrics: list[IterationMetrics] = field(default_factory=list)
+
+    def by_url(self, graph: GraphTables) -> DataFrame:
+        return (
+            self.ranks.join(graph.vertices, "id")
+            .select("url", F.col("rank"))
+        )
+
+
+def _l2_normalize(df: DataFrame, col: str) -> DataFrame:
+    norm_df = df.agg(F.sqrt(F.sum(F.col(col) * F.col(col))).alias("_norm"))
+    return (
+        df.crossJoin(F.broadcast(norm_df))
+        .select(df["id"], (F.col(col) / F.col("_norm")).alias(col))
+    )
+
+
+def pagerank(
+    graph: GraphTables,
+    v: DataFrame | None = None,
+    alpha: float = 0.85,
+    max_iterations: int = 1000,
+    epsilon: float = 1e-6,
+    salt_partitions: int | None = None,
+    checkpointer=None,
+    checkpoint_every: int = 10,
+    verbose: bool = False,
+) -> PageRankResult:
+    """Run the power method on a built graph.
+
+    v: optional personalization DataFrame (id: long, v: double), already
+       L1-normalized (functions.query.make_personalization_vector); this
+       routine applies the reference's L2 re-normalization (ws:139).
+    salt_partitions: if set, use explicit two-phase salted aggregation for
+       the contribution sum (groupBy(dst_id, salt) partial -> groupBy(dst_id)
+       final) to break extreme hub keys across reducers.
+    checkpointer: optional operators.checkpoint.IterationCheckpointer for
+       durable per-iteration state + lineage (resume supported).
+    """
+    spark = graph.edges.sparkSession
+    n = graph.n
+    if n == 0:
+        raise ValueError("empty graph")
+
+    edges = graph.edges  # (src_id, dst_id, weight) persisted, hashed by src_id
+
+    if v is None:
+        v_df = graph.vertices.select(
+            "id", F.lit(1.0 / n).cast("double").alias("v")
+        )
+    else:
+        v_df = v.select("id", F.col("v").cast("double"))
+    v_df = _l2_normalize(v_df, "v").localCheckpoint(eager=False)
+
+    dangling = dangling_vertices(graph).localCheckpoint(eager=False)
+
+    start_iter = 0
+    x = None
+    if checkpointer is not None:
+        resumed = checkpointer.resume(spark)
+        if resumed is not None:
+            x, start_iter = resumed
+            x = x.localCheckpoint(eager=False)
+    if x is None:
+        x = graph.vertices.select(
+            "id", F.lit(1.0 / math.sqrt(n)).cast("double").alias("x")
+        ).localCheckpoint(eager=False)
+
+    residuals: list[float] = []
+    metrics: list[IterationMetrics] = []
+    converged = False
+    it = start_iter
+
+    for it in range(start_iter, max_iterations):
+        t0 = time.monotonic()
+
+        # beta = alpha * sum(x over dangling) + (1 - alpha), as a broadcast
+        # 1-row subplan evaluated inside the same job
+        beta_df = (
+            x.join(dangling, "id", "left_semi")
+            .agg(
+                (
+                    F.lit(alpha) * F.coalesce(F.sum("x"), F.lit(0.0))
+                    + F.lit(1.0 - alpha)
+                ).alias("beta")
+            )
+        )
+
+        # contribs[t] = sum_s w(s,t) * x[s]  — P^T x
+        joined = edges.join(x, edges.src_id == x.id).select(
+            "dst_id", (F.col("weight") * F.col("x")).alias("wx")
+        )
+        if salt_partitions:
+            # salt derived from the *source* side so one hot dst_id fans out
+            # across `salt_partitions` partial-agg keys before the final agg
+            partial = joined.withColumn(
+                "_salt", F.pmod(F.spark_partition_id(), F.lit(salt_partitions))
+            ).groupBy("dst_id", "_salt").agg(F.sum("wx").alias("wx"))
+            contribs = partial.groupBy("dst_id").agg(F.sum("wx").alias("contrib"))
+        else:
+            contribs = joined.groupBy("dst_id").agg(F.sum("wx").alias("contrib"))
+
+        new_x = (
+            v_df.join(contribs, v_df.id == contribs.dst_id, "left")
+            .crossJoin(F.broadcast(beta_df))
+            .select(
+                v_df.id.alias("id"),
+                (
+                    F.col("beta") * F.col("v")
+                    + F.lit(alpha) * F.coalesce(F.col("contrib"), F.lit(0.0))
+                ).alias("x"),
+            )
+            .localCheckpoint(eager=False)
+        )
+
+        # the one action: residual materializes new_x's checkpoint too
+        residual = (
+            new_x.alias("new")
+            .join(x.alias("old"), "id")
+            .agg(
+                F.sqrt(
+                    F.sum(
+                        (F.col("new.x") - F.col("old.x"))
+                        * (F.col("new.x") - F.col("old.x"))
+                    )
+                ).alias("r")
+            )
+            .collect()[0]["r"]
+        )
+        residual = float(residual)
+
+        wall_ms = (time.monotonic() - t0) * 1000.0
+        residuals.append(residual)
+        metrics.append(IterationMetrics(it, residual, wall_ms))
+        if verbose:
+            print(f"i={it} residual={residual}")
+
+        x = new_x
+        if checkpointer is not None and (
+            (it + 1) % checkpoint_every == 0 or residual < epsilon
+        ):
+            checkpointer.write(
+                x.withColumnRenamed("x", "rank"),
+                iteration=it + 1,
+                meta={"residual": residual, "alpha": alpha, "wall_ms": wall_ms},
+            )
+
+        if residual < epsilon:
+            converged = True
+            break
+
+    ranks = x.withColumnRenamed("x", "rank")
+    return PageRankResult(
+        ranks=ranks,
+        iterations=(it + 1) - 0,
+        converged=converged,
+        residuals=residuals,
+        metrics=metrics,
+    )

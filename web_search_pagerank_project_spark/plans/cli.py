@@ -1,0 +1,108 @@
+"""CLI front-end mirroring the reference argparse surface (O24;
+/root/reference/pagerank.py:232-254), plus cluster/engine flags.
+
+Usage (same flags as the reference, so a user can switch 1:1):
+
+    spark-submit --py-files wspr.zip -m web_search_pagerank_project_spark.plans.cli \
+        --data data/small.csv.gz --search_query corona --verbose
+
+Extra engine flags: --master, --partitions, --checkpoint_dir, --algorithm
+(pagerank | components | labelprop | triangles).
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+
+
+def build_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(prog="wspr-engine")
+    # reference-compatible flags (pagerank.py:232-244)
+    parser.add_argument("--data", required=True)
+    parser.add_argument("--personalization_vector_query")
+    parser.add_argument("--search_query", default="")
+    parser.add_argument("--filter_ratio", type=float, default=None)
+    parser.add_argument("--alpha", type=float, default=0.85)
+    parser.add_argument("--max_iterations", type=int, default=1000)
+    parser.add_argument("--epsilon", type=float, default=1e-6)
+    parser.add_argument("--max_results", type=int, default=10)
+    parser.add_argument("--verbose", action="store_true")
+    # engine extensions
+    parser.add_argument("--master", default=None)
+    parser.add_argument("--partitions", type=int, default=None)
+    parser.add_argument("--checkpoint_dir", default=None)
+    parser.add_argument(
+        "--algorithm",
+        default="pagerank",
+        choices=["pagerank", "components", "labelprop", "triangles"],
+    )
+    parser.add_argument("--output", default=None, help="optional parquet sink")
+    return parser
+
+
+def main(argv: list[str] | None = None) -> None:
+    args = build_parser().parse_args(argv)
+    logging.basicConfig(level=logging.DEBUG if args.verbose else logging.INFO)
+
+    from ..session import get_spark
+
+    spark = get_spark(
+        app_name=f"wspr-{args.algorithm}",
+        master=args.master,
+        shuffle_partitions=args.partitions,
+    )
+
+    if args.algorithm == "pagerank":
+        from ..operators.checkpoint import IterationCheckpointer
+        from .pipeline import run_pipeline
+
+        ckpt = IterationCheckpointer(args.checkpoint_dir) if args.checkpoint_dir else None
+        out = run_pipeline(
+            spark,
+            data=args.data,
+            personalization_vector_query=args.personalization_vector_query,
+            search_query=args.search_query,
+            filter_ratio=args.filter_ratio,
+            alpha=args.alpha,
+            max_iterations=args.max_iterations,
+            epsilon=args.epsilon,
+            max_results=args.max_results,
+            checkpointer=ckpt,
+            verbose=args.verbose,
+        )
+    else:
+        from ..operators.graph_build import build_graph
+        from ..sources.edges import read_edge_csv
+
+        graph = build_graph(
+            read_edge_csv(spark, args.data), filter_ratio=args.filter_ratio
+        )
+        if args.algorithm == "components":
+            from ..operators.components import connected_components
+
+            out = connected_components(graph).join(graph.vertices, "id").select(
+                "url", "component"
+            )
+        elif args.algorithm == "labelprop":
+            from ..operators.labelprop import label_propagation
+
+            out = label_propagation(graph).join(graph.vertices, "id").select(
+                "url", "label"
+            )
+        else:
+            from ..operators.triangles import triangle_count
+
+            n_tri = triangle_count(graph)
+            logging.info(f"triangles={n_tri}")
+            out = spark.createDataFrame([(n_tri,)], "triangles long")
+
+    if args.output:
+        out.write.mode("overwrite").parquet(args.output)
+    else:
+        for row in out.limit(args.max_results).collect():
+            logging.info(str(row.asDict()))
+
+
+if __name__ == "__main__":
+    main()
