@@ -63,6 +63,60 @@ pw AS (
 """
 
 
+def _lpa_oracle_sql(rounds: int) -> str:
+    """Unrolled synchronous LPA (operators/labelprop.py semantics): each
+    vertex adopts its most frequent neighbor label, ties -> MIN label; no
+    neighbors -> keep own. Labels are urls here; the engine's integer ids are
+    assigned in url sort order, so min-id and min-url tie-breaks agree."""
+    parts = [
+        f"WITH e AS ({_EDGES_SQL}),",
+        """
+        verts AS (
+            SELECT DISTINCT url FROM (
+                SELECT src AS url FROM e UNION ALL SELECT dst AS url FROM e
+            )
+        ),
+        sym AS (
+            SELECT DISTINCT src, dst FROM (
+                SELECT src, dst FROM e
+                UNION ALL SELECT dst AS src, src AS dst FROM e
+            ) WHERE src <> dst
+        ),
+        l0 AS (SELECT url, url AS label FROM verts)
+        """,
+    ]
+    for k in range(1, rounds + 1):
+        parts.append(
+            f"""
+        , f{k} AS (
+            SELECT s.dst AS url, l.label, COUNT(*) AS cnt
+            FROM sym s JOIN l{k - 1} l ON s.src = l.url
+            GROUP BY s.dst, l.label
+        ),
+        w{k} AS (
+            SELECT url, label FROM (
+                SELECT url, label,
+                       ROW_NUMBER() OVER (PARTITION BY url ORDER BY cnt DESC, label ASC) AS rn
+                FROM f{k}
+            ) WHERE rn = 1
+        ),
+        l{k} AS (
+            SELECT l.url, COALESCE(w.label, l.label) AS label
+            FROM l{k - 1} l LEFT JOIN w{k} w ON l.url = w.url
+        )
+        """
+        )
+    parts.append(
+        f"""
+        SELECT label AS community_url, COUNT(*) AS community_size
+        FROM l{rounds}
+        GROUP BY label
+        ORDER BY community_size DESC, community_url
+        """
+    )
+    return "\n".join(parts)
+
+
 def _build_graph(spark: SparkSession, sf_dir: str):
     from web_search_pagerank_project_spark import build_graph
 
@@ -197,16 +251,21 @@ def q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X5: LPA communities (rows-only; NumPy oracle in tests)."""
+    """X5: LPA community sizes after 5 synchronous rounds. Oracle: the same
+    5 rounds unrolled in SQL (argmax-count labels, min-label tie-break);
+    dense ids are assigned in url sort order so id-argmin == url-argmin."""
     from web_search_pagerank_project_spark import build_graph, label_propagation
 
     graph = build_graph(_edges(spark, sf_dir), cache=True)
     labels = label_propagation(graph, max_iterations=5)
+    lab_urls = graph.vertices.select(
+        F.col("id").alias("label"), F.col("url").alias("community_url")
+    )
     return (
-        labels.join(graph.vertices, "id")
-        .groupBy("label")
+        labels.join(lab_urls, "label")
+        .groupBy("community_url")
         .agg(F.count("*").alias("community_size"))
-        .orderBy(F.desc("community_size"), F.asc("label"))
+        .orderBy(F.desc("community_size"), F.asc("community_url"))
     )
 
 
@@ -293,7 +352,15 @@ def q_events_sessionized_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_exact_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup groups via md5 of normalized text (portable hash)."""
     docs = _docs(spark, sf_dir)
-    fp = F.md5(F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " "))
+    # head fingerprint (first 64 normalized chars): the synthetic corpus has
+    # no full-text exact dups at small SF, so the head variant keeps this
+    # check non-trivial; exact full-text dedup is exercised in tests/ with
+    # synthesized duplicates.
+    fp = F.md5(
+        F.substring(
+            F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " "), 1, 64
+        )
+    )
     return (
         docs.select(fp.alias("fp"), "doc_id")
         .groupBy("fp")
@@ -319,6 +386,26 @@ def q_doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return docs.select(
         "doc_id", toks.alias("n_tokens"), punct.alias("punct_ratio")
+    ).orderBy("doc_id")
+
+
+def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/C4-style rule-based quality scoring + BPE-ish token estimate —
+    all JVM-side Catalyst expressions (functions/textstats.py)."""
+    from web_search_pagerank_project_spark.functions.textstats import (
+        bpe_ish_token_count,
+        quality_score,
+        stopword_ratio,
+        uppercase_ratio,
+    )
+
+    docs = _docs(spark, sf_dir)
+    return docs.select(
+        "doc_id",
+        bpe_ish_token_count("text").alias("n_subtokens"),
+        F.round(uppercase_ratio("text"), 6).alias("caps_ratio"),
+        F.round(stopword_ratio("text"), 6).alias("stop_ratio"),
+        F.round(quality_score("text"), 2).alias("quality"),
     ).orderBy("doc_id")
 
 
@@ -395,6 +482,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_windows": q_events_sessionized_windows,
         "exact_dup_groups": q_exact_dup_groups,
         "doc_token_stats": q_doc_token_stats,
+        "doc_quality": q_doc_quality,
         "lang_distribution": q_lang_distribution,
         "embedding_topk": q_embedding_topk,
         "minhash_near_dups": q_minhash_near_dups,
@@ -540,12 +628,70 @@ def oracle_sql() -> dict[str, str]:
         FROM seqd WHERE seq <= 5
         ORDER BY user_id, seq
         """,
+        "connected_components": f"""
+        WITH RECURSIVE e AS ({_EDGES_SQL}),
+        verts AS (
+            SELECT DISTINCT url FROM (
+                SELECT src AS url FROM e UNION ALL SELECT dst AS url FROM e
+            )
+        ),
+        sym AS (
+            SELECT DISTINCT src, dst FROM (
+                SELECT src, dst FROM e
+                UNION ALL SELECT dst AS src, src AS dst FROM e
+            ) WHERE src <> dst
+        ),
+        reach(a, b) AS (
+            SELECT url, url FROM verts
+            UNION
+            SELECT r.a, s.dst FROM reach r JOIN sym s ON r.b = s.src
+        )
+        SELECT a AS url, MIN(b) AS component_url
+        FROM reach GROUP BY a ORDER BY url
+        """,
+        "label_propagation": _lpa_oracle_sql(5),
         "exact_dup_groups": r"""
-        SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+        SELECT md5(substr(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), 1, 64)) AS fp,
                COUNT(*) AS n_dups, MIN(doc_id) AS keep_id
         FROM documents
         GROUP BY 1 HAVING COUNT(*) > 1
         ORDER BY fp
+        """,
+        "doc_quality": r"""
+        WITH t AS (
+            SELECT doc_id, text,
+                   string_split_regex(lower(trim(text)), '\s+') AS toks,
+                   CASE WHEN length(trim(text)) = 0 THEN 0
+                        ELSE array_length(string_split_regex(trim(text), '\s+'))
+                   END AS n_tokens
+            FROM documents
+        ),
+        r AS (
+            SELECT doc_id,
+                   CAST(array_length(regexp_extract_all(text, '([A-Za-z]+|[0-9]+|[^A-Za-z0-9\s])')) AS INT) AS n_subtokens,
+                   CASE WHEN length(text) = 0 THEN 0.0
+                        ELSE CAST(length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')) AS DOUBLE) / length(text)
+                   END AS caps_ratio_raw,
+                   CASE WHEN length(text) = 0 THEN 0.0
+                        ELSE CAST(length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g')) AS DOUBLE) / length(text)
+                   END AS punct_ratio_raw,
+                   CASE WHEN array_length(toks) = 0 THEN 0.0
+                        ELSE CAST(len(list_filter(toks, x -> list_contains(['the','and','of','to','in'], x))) AS DOUBLE)
+                             / array_length(toks)
+                   END AS stop_ratio_raw,
+                   n_tokens
+            FROM t
+        )
+        SELECT doc_id, n_subtokens,
+               ROUND(caps_ratio_raw, 6) AS caps_ratio,
+               ROUND(stop_ratio_raw, 6) AS stop_ratio,
+               ROUND((
+                   (CASE WHEN n_tokens >= 5 AND n_tokens <= 100000 THEN 1.0 ELSE 0.0 END)
+                 + (CASE WHEN punct_ratio_raw < 0.3 THEN 1.0 ELSE 0.0 END)
+                 + (CASE WHEN caps_ratio_raw < 0.3 THEN 1.0 ELSE 0.0 END)
+                 + (CASE WHEN stop_ratio_raw > 0.01 THEN 1.0 ELSE 0.0 END)
+               ) / 4.0, 2) AS quality
+        FROM r ORDER BY doc_id
         """,
         "doc_token_stats": r"""
         SELECT doc_id,
