@@ -106,6 +106,19 @@ def run_benchmarks(spark) -> dict[str, float]:
         res.iterations * N_EDGES / max(timings["pagerank"], 1e-9), 1
     )
 
+    from web_search_pagerank_project_spark import pagerank_csr
+
+    res_csr = timed(
+        "pagerank_csr",
+        lambda: pagerank_csr(graph, max_iterations=PR_MAX_ITERS, epsilon=1e-6),
+    )
+    detail["pagerank_csr_iters_per_hour"] = round(
+        res_csr.iterations / max(timings["pagerank_csr"], 1e-9) * 3600, 1
+    )
+    detail["pagerank_csr_edges_per_sec"] = round(
+        res_csr.iterations * N_EDGES / max(timings["pagerank_csr"], 1e-9), 1
+    )
+
     timed("cc", lambda: connected_components(graph, max_iterations=50).count())
 
     # triangles on a thinned graph (distinct-edge subset) to keep the wedge

@@ -15,6 +15,7 @@ from .session import get_spark
 from .sources.edges import read_edge_csv, read_edge_parquet, edges_from_dataframe
 from .operators.graph_build import GraphTables, build_graph
 from .operators.pagerank import pagerank, PageRankResult
+from .operators.csr_kernel import pagerank_csr, build_csr_blocks
 from .operators.components import connected_components
 from .operators.labelprop import label_propagation
 from .operators.triangles import triangle_count
@@ -29,6 +30,8 @@ __all__ = [
     "GraphTables",
     "build_graph",
     "pagerank",
+    "pagerank_csr",
+    "build_csr_blocks",
     "PageRankResult",
     "connected_components",
     "label_propagation",

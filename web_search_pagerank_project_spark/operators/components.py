@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .graph_build import GraphTables
+from .lineage import cut_lineage
 
 
 def _symmetrized(graph: GraphTables, num_partitions: int) -> DataFrame:
@@ -56,7 +57,7 @@ def connected_components(
 
     labels = graph.vertices.select(
         "id", F.col("id").alias("label")
-    ).localCheckpoint(eager=False)
+    ).transform(cut_lineage)
 
     converged = False
     for it in range(max_iterations):
@@ -74,7 +75,7 @@ def connected_components(
                 ).alias("label"),
                 (F.col("nbr_label") < F.col("label")).alias("_changed"),
             )
-            .localCheckpoint(eager=False)
+            .transform(cut_lineage)
         )
         changed = (
             new_labels.agg(

@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 
 from .components import _symmetrized
 from .graph_build import GraphTables
+from .lineage import cut_lineage
 
 
 def label_propagation(
@@ -35,7 +36,7 @@ def label_propagation(
 
     labels = graph.vertices.select(
         "id", F.col("id").alias("label")
-    ).localCheckpoint(eager=False)
+    ).transform(cut_lineage)
 
     for it in range(max_iterations):
         freq = (
@@ -56,7 +57,7 @@ def label_propagation(
                 F.coalesce(F.col("new_label"), F.col("label")).alias("label"),
                 (F.coalesce(F.col("new_label"), F.col("label")) != F.col("label")).alias("_changed"),
             )
-            .localCheckpoint(eager=False)
+            .transform(cut_lineage)
         )
         changed = (
             new_labels.agg(

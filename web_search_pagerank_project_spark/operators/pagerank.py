@@ -45,6 +45,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .graph_build import GraphTables, dangling_vertices
+from .lineage import cut_lineage
 
 
 @dataclass
@@ -114,9 +115,9 @@ def pagerank(
         )
     else:
         v_df = v.select("id", F.col("v").cast("double"))
-    v_df = _l2_normalize(v_df, "v").localCheckpoint(eager=False)
+    v_df = _l2_normalize(v_df, "v").transform(cut_lineage)
 
-    dangling = dangling_vertices(graph).localCheckpoint(eager=False)
+    dangling = dangling_vertices(graph).transform(cut_lineage)
 
     start_iter = 0
     x = None
@@ -124,11 +125,11 @@ def pagerank(
         resumed = checkpointer.resume(spark)
         if resumed is not None:
             x, start_iter = resumed
-            x = x.localCheckpoint(eager=False)
+            x = x.transform(cut_lineage)
     if x is None:
         x = graph.vertices.select(
             "id", F.lit(1.0 / math.sqrt(n)).cast("double").alias("x")
-        ).localCheckpoint(eager=False)
+        ).transform(cut_lineage)
 
     residuals: list[float] = []
     metrics: list[IterationMetrics] = []
@@ -174,7 +175,7 @@ def pagerank(
                     + F.lit(alpha) * F.coalesce(F.col("contrib"), F.lit(0.0))
                 ).alias("x"),
             )
-            .localCheckpoint(eager=False)
+            .transform(cut_lineage)
         )
 
         # the one action: residual materializes new_x's checkpoint too
