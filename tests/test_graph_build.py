@@ -97,3 +97,35 @@ def test_max_nnz_limit(spark):
         assert df.count() == 5
         full = read_edge_csv(spark, p)
         assert full.count() == 10
+
+
+def test_dense_ids_stable_across_recompute_at_scale(spark):
+    """Regression: repartitionByRange resampling must not skew the dense-id
+    dictionary (ids must be exactly [0, n) with one url each). At 200k urls
+    over 32 partitions the range sampler's nondeterminism corrupted ids
+    before assign_dense_ids pinned a single materialization."""
+    import pyspark.sql.functions as F
+
+    from web_search_pagerank_project_spark.operators.graph_build import (
+        assign_dense_ids,
+    )
+
+    urls = (
+        spark.range(0, 200_000)
+        .select(F.concat(F.lit("u"), F.col("id").cast("string")).alias("url"))
+    )
+    verts = assign_dense_ids(urls, num_partitions=32)
+    n = urls.count()
+    stats = verts.agg(
+        F.countDistinct("id").alias("d"),
+        F.min("id").alias("lo"),
+        F.max("id").alias("hi"),
+        F.count("*").alias("c"),
+    ).collect()[0]
+    assert stats["c"] == n
+    assert stats["d"] == n
+    assert stats["lo"] == 0 and stats["hi"] == n - 1
+    # re-evaluating the same DataFrame must give the identical mapping
+    a = {r["url"]: r["id"] for r in verts.sample(0.01, seed=1).collect()}
+    b = {r["url"]: r["id"] for r in verts.filter(F.col("url").isin(list(a))).collect()}
+    assert a == {k: b[k] for k in a}

@@ -1,0 +1,80 @@
+"""Pages source (Iceberg-first, parquet fallback) + stateful streaming dedup."""
+
+import datetime
+
+import pyspark.sql.functions as F
+import pytest
+
+
+def _mk_pages(spark, tmp_path):
+    from web_search_pagerank_project_spark.sources.synth import synth_pages
+
+    pages = synth_pages(spark, n=50, seed=3)
+    path = str(tmp_path / "pages.parquet")
+    pages.write.parquet(path)
+    return path
+
+
+def test_read_pages_parquet_roundtrip(spark, tmp_path):
+    from web_search_pagerank_project_spark.sources.pages import (
+        PAGES_SCHEMA,
+        iceberg_available,
+        read_pages,
+    )
+
+    path = _mk_pages(spark, tmp_path)
+    df = read_pages(spark, path)
+    assert [f.name for f in df.schema.fields] == [f.name for f in PAGES_SCHEMA.fields]
+    # synth_pages appends duplicate-capture rows, so >= n total, exactly n urls
+    assert df.count() >= 50
+    assert df.select("url").distinct().count() == 50
+    # sandbox has no Iceberg runtime; the check must answer, not raise
+    assert iceberg_available(spark) in (True, False)
+
+
+def test_incremental_pages_pushes_down_ts_filter(spark, tmp_path):
+    from web_search_pagerank_project_spark.sources.pages import incremental_pages
+
+    path = _mk_pages(spark, tmp_path)
+    cut = spark.read.parquet(path).agg(F.max("warc_ts")).collect()[0][0]
+    since = (cut - datetime.timedelta(days=1)).isoformat(sep=" ")
+    inc = incremental_pages(spark, path, since_ts=since)
+    plan = inc._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "warc_ts" in plan
+    full = spark.read.parquet(path).count()
+    assert 0 < inc.count() < full
+
+
+def test_first_seen_urls_stateful_dedup(spark, tmp_path):
+    from web_search_pagerank_project_spark.streaming.stateful import first_seen_urls
+
+    land = tmp_path / "land"
+    land.mkdir()
+    (land / "a.csv").write_text(
+        "source,target,ts\n"
+        "u1,u2,2024-01-01T00:00:00\n"
+        "u1,u3,2024-01-01T00:00:01\n"
+        "u2,u3,2024-01-01T00:00:02\n"
+        "u3,u2,2024-01-01T00:00:03\n"
+    )
+    from web_search_pagerank_project_spark.streaming.ingest import (
+        stream_edges_from_csv,
+    )
+
+    edges = stream_edges_from_csv(spark, str(land))
+    frontier = first_seen_urls(
+        edges.select(F.col("dst").alias("url")), num_shards=4
+    )
+    q = (
+        frontier.writeStream.format("memory")
+        .queryName("frontier_test")
+        .outputMode("append")
+        .option(
+            "checkpointLocation", str(tmp_path / "ck")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(r["url"] for r in spark.sql("select * from frontier_test").collect())
+    assert got == ["u2", "u3"]  # u3 and u2 each seen once despite repeats

@@ -79,9 +79,17 @@ def assign_dense_ids(urls: DataFrame, id_col: str = "id", num_partitions: int | 
     if num_partitions is None:
         num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
 
+    # repartitionByRange SAMPLES the data to choose range boundaries, so two
+    # computations of the same plan can place a url in different partitions.
+    # The offsets below are collected from one materialization; if the join
+    # re-computed the exchange with a fresh sample, ids would collide/skip
+    # (observed as corrupt ids at 1M urls / 16 partitions). localCheckpoint
+    # pins ONE materialization for both the counts and the join; a lost
+    # block fails loudly instead of silently mis-assigning ids.
     parts = (
         urls.repartitionByRange(num_partitions, "url")
         .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
     )
     w = Window.partitionBy("_pid").orderBy("url")
     local = parts.withColumn("_rn", F.row_number().over(w) - F.lit(1))

@@ -136,20 +136,20 @@ def pagerank(
     converged = False
     it = start_iter
 
+    # dangling mass of the CURRENT iterate, carried across iterations so no
+    # separate beta subplan/job runs inside the loop: iteration t's single
+    # action computes both the residual and sum(x_{t+1} over dangling) for
+    # the next beta (the CSR kernel uses the same trick)
+    dang_mass = float(
+        x.join(dangling, "id", "left_semi")
+        .agg(F.coalesce(F.sum("x"), F.lit(0.0)))
+        .collect()[0][0]
+    )
+
     for it in range(start_iter, max_iterations):
         t0 = time.monotonic()
 
-        # beta = alpha * sum(x over dangling) + (1 - alpha), as a broadcast
-        # 1-row subplan evaluated inside the same job
-        beta_df = (
-            x.join(dangling, "id", "left_semi")
-            .agg(
-                (
-                    F.lit(alpha) * F.coalesce(F.sum("x"), F.lit(0.0))
-                    + F.lit(1.0 - alpha)
-                ).alias("beta")
-            )
-        )
+        beta = alpha * dang_mass + (1.0 - alpha)
 
         # contribs[t] = sum_s w(s,t) * x[s]  — P^T x
         joined = edges.join(x, edges.src_id == x.id).select(
@@ -167,32 +167,37 @@ def pagerank(
 
         new_x = (
             v_df.join(contribs, v_df.id == contribs.dst_id, "left")
-            .crossJoin(F.broadcast(beta_df))
             .select(
                 v_df.id.alias("id"),
                 (
-                    F.col("beta") * F.col("v")
+                    F.lit(beta) * F.col("v")
                     + F.lit(alpha) * F.coalesce(F.col("contrib"), F.lit(0.0))
                 ).alias("x"),
             )
             .transform(cut_lineage)
         )
 
-        # the one action: residual materializes new_x's checkpoint too
-        residual = (
+        # the one action: residual + next-beta dangling mass in one pass;
+        # materializes new_x's checkpoint too
+        row = (
             new_x.alias("new")
             .join(x.alias("old"), "id")
+            .join(dangling.withColumn("_dang", F.lit(1)), "id", "left")
             .agg(
                 F.sqrt(
                     F.sum(
                         (F.col("new.x") - F.col("old.x"))
                         * (F.col("new.x") - F.col("old.x"))
                     )
-                ).alias("r")
+                ).alias("r"),
+                F.coalesce(
+                    F.sum(F.when(F.col("_dang") == 1, F.col("new.x"))),
+                    F.lit(0.0),
+                ).alias("dm"),
             )
-            .collect()[0]["r"]
+            .collect()[0]
         )
-        residual = float(residual)
+        residual, dang_mass = float(row["r"]), float(row["dm"])
 
         wall_ms = (time.monotonic() - t0) * 1000.0
         residuals.append(residual)
