@@ -47,6 +47,7 @@ def connected_components(
     graph: GraphTables,
     max_iterations: int = 100,
     verbose: bool = False,
+    raise_on_cap: bool = True,
 ) -> DataFrame:
     """Returns (id: long, component: long) — component = min vertex id reachable
     (undirected). Converged exactly (fixed point), or raises if max_iterations
@@ -90,7 +91,7 @@ def connected_components(
             converged = True
             break
     sym.unpersist()
-    if not converged:
+    if not converged and raise_on_cap:
         raise RuntimeError(f"connected_components: no fixed point in {max_iterations} iters")
     return labels.withColumnRenamed("label", "component")
 

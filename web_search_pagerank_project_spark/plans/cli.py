@@ -7,7 +7,7 @@ Usage (same flags as the reference, so a user can switch 1:1):
         --data data/small.csv.gz --search_query corona --verbose
 
 Extra engine flags: --master, --partitions, --checkpoint_dir, --algorithm
-(pagerank | components | labelprop | triangles).
+(pagerank | components | labelprop | triangles), --kernel (dataframe | csr).
 """
 
 from __future__ import annotations
@@ -36,6 +36,13 @@ def build_parser() -> argparse.ArgumentParser:
         "--algorithm",
         default="pagerank",
         choices=["pagerank", "components", "labelprop", "triangles"],
+    )
+    parser.add_argument(
+        "--kernel",
+        default="dataframe",
+        choices=["dataframe", "csr"],
+        help="PageRank execution kernel: declarative join+agg, or the "
+        "per-partition CSR block fast path (operators/csr_kernel.py)",
     )
     parser.add_argument("--output", default=None, help="optional parquet sink")
     return parser
@@ -70,6 +77,7 @@ def main(argv: list[str] | None = None) -> None:
             max_results=args.max_results,
             checkpointer=ckpt,
             verbose=args.verbose,
+            kernel=args.kernel,
         )
     else:
         from ..operators.graph_build import build_graph

@@ -76,6 +76,12 @@ def search(
     )
 
 
+def _csr_pagerank(graph, v=None, **kw):
+    from ..operators.csr_kernel import pagerank_csr
+
+    return pagerank_csr(graph, v, **kw)
+
+
 def run_pipeline(
     spark: SparkSession,
     data: str,
@@ -88,6 +94,7 @@ def run_pipeline(
     max_results: int = 10,
     checkpointer=None,
     verbose: bool = False,
+    kernel: str = "dataframe",
 ) -> DataFrame:
     """Reference CLI pipeline, returns the search result DataFrame and logs
     rows in the reference's ``rank=i pagerank=... url=...`` format."""
@@ -98,7 +105,8 @@ def run_pipeline(
         if personalization_vector_query is not None
         else None
     )
-    result = pagerank(
+    pr = pagerank if kernel == "dataframe" else _csr_pagerank
+    result = pr(
         graph,
         v,
         alpha=alpha,
