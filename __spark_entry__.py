@@ -443,6 +443,23 @@ def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-3-gram Jaccard over consecutive-id candidate pairs —
+    array_intersect/array_union JVM-side (operators/dedup.py)."""
+    from web_search_pagerank_project_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+    )
+
+    docs = _docs(spark, sf_dir)
+    cands = docs.select(
+        F.col("doc_id").alias("id_a"), (F.col("doc_id") + 1).alias("id_b")
+    )
+    pairs = ngram_jaccard_pairs(docs, cands)
+    return pairs.select(
+        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
+    ).orderBy("id_a")
+
+
 def q_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup pairs (rows-only; exact-Jaccard tests in tests/)."""
     from web_search_pagerank_project_spark.operators.dedup import minhash_dedup
@@ -485,6 +502,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_quality": q_doc_quality,
         "lang_distribution": q_lang_distribution,
         "embedding_topk": q_embedding_topk,
+        "ngram_jaccard": q_ngram_jaccard,
         "minhash_near_dups": q_minhash_near_dups,
         "simhash_near_dups": q_simhash_near_dups,
     }
@@ -707,6 +725,30 @@ def oracle_sql() -> dict[str, str]:
         "lang_distribution": """
         SELECT lang, COUNT(*) AS n_docs, ROUND(AVG(n_chars), 2) AS avg_chars
         FROM documents GROUP BY lang ORDER BY lang
+        """,
+        "ngram_jaccard": r"""
+        WITH t AS (
+            SELECT doc_id,
+                   string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks
+            FROM documents
+        ),
+        sh AS (
+            SELECT doc_id,
+                   CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+                        ELSE list_distinct(list_transform(range(1, len(toks) - 1),
+                             i -> array_to_string(list_slice(toks, i, i + 2), ' ')))
+                   END AS sh
+            FROM t
+        )
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               ROUND(
+                 CASE WHEN len(list_distinct(list_concat(a.sh, b.sh))) = 0 THEN 0.0
+                      ELSE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                           / len(list_distinct(list_concat(a.sh, b.sh)))
+                 END, 6
+               ) AS jaccard
+        FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
+        ORDER BY id_a
         """,
         "embedding_topk": """
         WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0)
