@@ -346,6 +346,41 @@ def q_events_sessionized_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.filter(F.col("seq") <= 5).orderBy("user_id", "seq")
 
 
+def q_customer_nation_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operations: nations with customers INTERSECT nations with
+    suppliers, then EXCEPT the ones with >100 customers."""
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    s = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    cust_nations = c.select(F.col("c_nationkey").alias("nationkey")).distinct()
+    supp_nations = s.select(F.col("s_nationkey").alias("nationkey")).distinct()
+    big = (
+        c.groupBy("c_nationkey")
+        .agg(F.count("*").alias("nc"))
+        .filter(F.col("nc") > 100)
+        .select(F.col("c_nationkey").alias("nationkey"))
+    )
+    return (
+        cust_nations.intersect(supp_nations).exceptAll(big).orderBy("nationkey")
+    )
+
+
+def q_orders_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP aggregation: revenue by (orderpriority, orderstatus) with
+    subtotals and grand total."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return (
+        o.rollup("o_orderpriority", "o_orderstatus")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+        .orderBy(
+            F.col("o_orderpriority").asc_nulls_first(),
+            F.col("o_orderstatus").asc_nulls_first(),
+        )
+    )
+
+
 # ---- training-data pipeline ops over documents/embeddings ----
 
 
@@ -497,6 +532,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_customers": q_top_customers,
         "events_hourly": q_events_hourly,
         "events_windows": q_events_sessionized_windows,
+        "customer_nation_setops": q_customer_nation_setops,
+        "orders_rollup": q_orders_rollup,
         "exact_dup_groups": q_exact_dup_groups,
         "doc_token_stats": q_doc_token_stats,
         "doc_quality": q_doc_quality,
@@ -668,6 +705,25 @@ def oracle_sql() -> dict[str, str]:
         FROM reach GROUP BY a ORDER BY url
         """,
         "label_propagation": _lpa_oracle_sql(5),
+        "customer_nation_setops": """
+        SELECT nationkey FROM (
+            SELECT DISTINCT c_nationkey AS nationkey FROM customer
+            INTERSECT
+            SELECT DISTINCT s_nationkey AS nationkey FROM supplier
+        )
+        EXCEPT ALL
+        SELECT c_nationkey AS nationkey FROM customer
+        GROUP BY c_nationkey HAVING COUNT(*) > 100
+        ORDER BY nationkey
+        """,
+        "orders_rollup": """
+        SELECT o_orderpriority, o_orderstatus,
+               COUNT(*) AS n_orders,
+               ROUND(SUM(o_totalprice), 2) AS revenue
+        FROM orders
+        GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+        ORDER BY o_orderpriority ASC NULLS FIRST, o_orderstatus ASC NULLS FIRST
+        """,
         "exact_dup_groups": r"""
         SELECT md5(substr(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), 1, 64)) AS fp,
                COUNT(*) AS n_dups, MIN(doc_id) AS keep_id

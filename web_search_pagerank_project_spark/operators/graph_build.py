@@ -195,3 +195,29 @@ def dangling_vertices(graph: GraphTables) -> DataFrame:
     return graph.vertices.select("id").join(
         graph.edges.select(F.col("src_id").alias("id")).distinct(), "id", "left_anti"
     )
+
+
+def save_graph(graph: GraphTables, path: str) -> None:
+    """Persist a built graph (vertices + weighted edges) as parquet for
+    reuse across runs/sessions — the batch analogue of a graph snapshot."""
+    graph.vertices.write.mode("overwrite").parquet(f"{path}/vertices")
+    graph.edges.write.mode("overwrite").parquet(f"{path}/edges")
+
+
+def load_graph(
+    spark, path: str, num_partitions: int | None = None, cache: bool = True
+) -> GraphTables:
+    """Load a graph saved by :func:`save_graph`; edges come back hashed by
+    ``src_id`` (the iteration-kernel partitioning contract)."""
+    if num_partitions is None:
+        num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    vertices = spark.read.parquet(f"{path}/vertices")
+    edges = spark.read.parquet(f"{path}/edges").repartition(
+        num_partitions, "src_id"
+    )
+    if cache:
+        vertices = vertices.persist()
+        edges = edges.persist()
+        edges.count()
+    n = vertices.count()
+    return GraphTables(vertices=vertices, edges=edges, n=n)
