@@ -129,3 +129,30 @@ def test_dense_ids_stable_across_recompute_at_scale(spark):
     a = {r["url"]: r["id"] for r in verts.sample(0.01, seed=1).collect()}
     b = {r["url"]: r["id"] for r in verts.filter(F.col("url").isin(list(a))).collect()}
     assert a == {k: b[k] for k in a}
+
+
+def test_save_load_graph_roundtrip(spark, tmp_path):
+    from conftest import SMALL_EDGES
+
+    from web_search_pagerank_project_spark import build_graph, pagerank
+    from web_search_pagerank_project_spark.operators.graph_build import (
+        load_graph,
+        save_graph,
+    )
+
+    df = spark.createDataFrame(SMALL_EDGES, "src string, dst string")
+    g = build_graph(df, cache=True)
+    save_graph(g, str(tmp_path / "g"))
+    g2 = load_graph(spark, str(tmp_path / "g"))
+    assert g2.n == g.n
+    assert sorted(tuple(r) for r in g2.edges.collect()) == sorted(
+        tuple(r) for r in g.edges.collect()
+    )
+    r1 = {x["id"]: x["rank"] for x in pagerank(g, max_iterations=5).ranks.collect()}
+    r2 = {x["id"]: x["rank"] for x in pagerank(g2, max_iterations=5).ranks.collect()}
+    import numpy as np
+
+    for i in r1:
+        assert np.isclose(r1[i], r2[i], atol=1e-15)
+    g.unpersist()
+    g2.unpersist()
