@@ -478,6 +478,36 @@ def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_component_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 ancillary: component size distribution (exact, via converged CC)."""
+    from web_search_pagerank_project_spark import build_graph, connected_components
+    from web_search_pagerank_project_spark.operators.components import (
+        component_sizes,
+    )
+
+    graph = build_graph(_edges(spark, sf_dir), cache=True)
+    comp = connected_components(graph)
+    lab = graph.vertices.select(
+        F.col("id").alias("component"), F.col("url").alias("component_url")
+    )
+    return (
+        component_sizes(comp)
+        .join(lab, "component")
+        .select("component_url", "size")
+        .orderBy(F.desc("size"), F.asc("component_url"))
+    )
+
+
+def q_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-path ANN: hyperplane-LSH bucketed cosine top-k (rows-only;
+    recall vs brute force asserted in tests/test_similarity.py)."""
+    from web_search_pagerank_project_spark.operators.similarity import lsh_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
+    return lsh_topk(emb.filter(F.col("vec_id") != 0), [float(x) for x in q], k=10)
+
+
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact word-3-gram Jaccard over consecutive-id candidate pairs —
     array_intersect/array_union JVM-side (operators/dedup.py)."""
@@ -540,6 +570,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_distribution": q_lang_distribution,
         "embedding_topk": q_embedding_topk,
         "ngram_jaccard": q_ngram_jaccard,
+        "component_sizes": q_component_sizes,
+        "lsh_ann_topk": q_lsh_ann_topk,
         "minhash_near_dups": q_minhash_near_dups,
         "simhash_near_dups": q_simhash_near_dups,
     }
@@ -703,6 +735,29 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT a AS url, MIN(b) AS component_url
         FROM reach GROUP BY a ORDER BY url
+        """,
+        "component_sizes": f"""
+        WITH RECURSIVE e AS ({_EDGES_SQL}),
+        verts AS (
+            SELECT DISTINCT url FROM (
+                SELECT src AS url FROM e UNION ALL SELECT dst AS url FROM e
+            )
+        ),
+        sym AS (
+            SELECT DISTINCT src, dst FROM (
+                SELECT src, dst FROM e
+                UNION ALL SELECT dst AS src, src AS dst FROM e
+            ) WHERE src <> dst
+        ),
+        reach(a, b) AS (
+            SELECT url, url FROM verts
+            UNION
+            SELECT r.a, s.dst FROM reach r JOIN sym s ON r.b = s.src
+        ),
+        comp AS (SELECT a AS url, MIN(b) AS component_url FROM reach GROUP BY a)
+        SELECT component_url, CAST(COUNT(*) AS BIGINT) AS size
+        FROM comp GROUP BY component_url
+        ORDER BY size DESC, component_url
         """,
         "label_propagation": _lpa_oracle_sql(5),
         "customer_nation_setops": """
