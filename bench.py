@@ -173,6 +173,12 @@ def scaling_run() -> None:
     import shutil
     import tempfile
 
+    # One JVM serves every level (py4j keeps it across SparkSession
+    # restarts), so -Xmx is fixed by the FIRST session. 8g thrashes at 240M
+    # edges (TaskMemoryManager page-allocation retries → the measurement
+    # becomes spill-bound); size the shared heap for the workload.
+    os.environ.setdefault("WSPR_DRIVER_MEM", "48g")
+
     # Stage the graph ONCE at full parallelism (the build is not part of the
     # timed metric; what scales is the iteration), then each level loads the
     # identical parquet graph.
