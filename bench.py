@@ -279,10 +279,10 @@ scaling efficiency (PageRank, DataFrame kernel) = (T_N / T_4N) / 4 = **{df_eff:.
 scaling efficiency (PageRank, CSR kernel)       = (T_N / T_4N) / 4 = **{eff:.3f}**
 scaling efficiency (CC, min-label rounds)       = (T_N / T_4N) / 4 = **{cc_eff:.3f}**
 
-The CSR kernel is the absolute-throughput winner at every level (its numpy
-SpMV leaves little parallel work to scale), while the DataFrame kernel's
-join+aggregate iterations carry the textbook scaling curve; both kernels
-produce bit-comparable scores (tests pin 1e-12).
+Both kernels compute bit-comparable scores (tests pin them at 1e-12);
+their relative wall times at a given level depend on where the machine
+bottlenecks (the CSR kernel trades shuffle volume for Arrow+numpy memory
+traffic), so both are reported.
 
 Acceptance (north_rule): >= 0.8.
 

@@ -12,7 +12,7 @@ onto an Iceberg table partitioned by ``iter``):
 
 Resume picks the max K whose _SUCCESS exists and whose meta record parses;
 a torn write (no _SUCCESS) is ignored, so kill-at-any-point restarts cleanly
-from the last committed iteration (tested in tests/test_checkpoint.py).
+from the last committed iteration (tested in tests/test_checkpoint_resume.py).
 """
 
 from __future__ import annotations
