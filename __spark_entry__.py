@@ -63,6 +63,41 @@ pw AS (
 """
 
 
+def _pr3_oracle_sql(vraw_expr: str) -> str:
+    """Three unrolled power-method iterations with exact reference numerics
+    (q -> L1 -> L2-normalized v per ws_pagerank.py:115-139; dangling beta
+    per iteration). ``vraw_expr`` is the raw personalization indicator over
+    ``verts.url`` ('1.0' = uniform; uniform q -> v_i = 1/sqrt(n), matching
+    the original inline oracle)."""
+    it_blocks = []
+    for i in range(1, 4):
+        prev = f"x{i - 1}"
+        it_blocks.append(f"""
+        b{i} AS (SELECT 0.85 * COALESCE((SELECT SUM(x) FROM {prev} WHERE url IN (SELECT url FROM dang)), 0) + 0.15 AS beta),
+        x{i} AS (
+            SELECT vv.url, (SELECT beta FROM b{i}) * vv.v + 0.85 * COALESCE(c.contrib, 0) AS x
+            FROM vv LEFT JOIN (
+                SELECT pw.dst AS url, SUM(pw.weight * {prev}.x) AS contrib
+                FROM pw JOIN {prev} ON pw.src = {prev}.url GROUP BY pw.dst
+            ) c ON vv.url = c.url
+        )""")
+    return (
+        _GRAPH_SQL_PREFIX
+        + f"""
+        , qsum AS (SELECT SUM({vraw_expr}) AS s FROM verts),
+        vl1 AS (SELECT url, ({vraw_expr}) / (SELECT s FROM qsum) AS v FROM verts),
+        vnorm AS (SELECT sqrt(SUM(v * v)) AS nrm FROM vl1),
+        vv AS (SELECT url, v / (SELECT nrm FROM vnorm) AS v FROM vl1),
+        x0 AS (SELECT url, 1.0 / sqrt((SELECT n FROM nn)) AS x FROM verts),
+        dang AS (SELECT url FROM verts WHERE url NOT IN (SELECT DISTINCT src FROM pw)),
+        """
+        + ",".join(it_blocks)
+        + """
+        SELECT url, ROUND(x, 6) AS score FROM x3 ORDER BY score DESC, url
+        """
+    )
+
+
 def _lpa_oracle_sql(rounds: int) -> str:
     """Unrolled synchronous LPA (operators/labelprop.py semantics): each
     vertex adopts its most frequent neighbor label, ties -> MIN label; no
@@ -266,6 +301,24 @@ def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("community_url")
         .agg(F.count("*").alias("community_size"))
         .orderBy(F.desc("community_size"), F.asc("community_url"))
+    )
+
+
+def q_pagerank_personalized_3iter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O15: personalization vector (query 'n1' substring match, L1- then
+    L2-normalized per reference ws:115-139) driving 3 unrolled iterations."""
+    from web_search_pagerank_project_spark import build_graph, pagerank
+    from web_search_pagerank_project_spark.functions.query import (
+        make_personalization_vector,
+    )
+
+    graph = build_graph(_edges(spark, sf_dir), cache=True)
+    v = make_personalization_vector(graph, "n1")
+    res = pagerank(graph, v, alpha=0.85, max_iterations=3, epsilon=0.0)
+    return (
+        res.by_url(graph)
+        .select("url", F.round("rank", 6).alias("score"))
+        .orderBy(F.desc("score"), F.asc("url"))
     )
 
 
@@ -552,6 +605,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "in_degree_topk": q_in_degree_topk,
         "dangling_vertices": q_dangling_vertices,
         "pagerank_3iter": q_pagerank_3iter,
+        "pagerank_personalized_3iter": q_pagerank_personalized_3iter,
         "pagerank_converged": q_pagerank_converged,
         "url_search": q_url_search,
         "filter_ratio_edges": q_filter_ratio_edges,
@@ -600,37 +654,10 @@ def oracle_sql() -> dict[str, str]:
         WHERE url NOT IN (SELECT DISTINCT src FROM e)
         ORDER BY url
         """,
-        "pagerank_3iter": _GRAPH_SQL_PREFIX
-        + """
-        , x0 AS (SELECT url, 1.0 / sqrt((SELECT n FROM nn)) AS x FROM verts),
-        vv AS (SELECT url, 1.0 / sqrt((SELECT n FROM nn)) AS v FROM verts),
-        dang AS (SELECT url FROM verts WHERE url NOT IN (SELECT DISTINCT src FROM pw)),
-        b1 AS (SELECT 0.85 * COALESCE((SELECT SUM(x) FROM x0 WHERE url IN (SELECT url FROM dang)), 0) + 0.15 AS beta),
-        x1 AS (
-            SELECT vv.url, (SELECT beta FROM b1) * vv.v + 0.85 * COALESCE(c.contrib, 0) AS x
-            FROM vv LEFT JOIN (
-                SELECT pw.dst AS url, SUM(pw.weight * x0.x) AS contrib
-                FROM pw JOIN x0 ON pw.src = x0.url GROUP BY pw.dst
-            ) c ON vv.url = c.url
+        "pagerank_3iter": _pr3_oracle_sql("1.0"),
+        "pagerank_personalized_3iter": _pr3_oracle_sql(
+            "CASE WHEN url LIKE '%n1%' THEN 1.0 ELSE 0.0 END"
         ),
-        b2 AS (SELECT 0.85 * COALESCE((SELECT SUM(x) FROM x1 WHERE url IN (SELECT url FROM dang)), 0) + 0.15 AS beta),
-        x2 AS (
-            SELECT vv.url, (SELECT beta FROM b2) * vv.v + 0.85 * COALESCE(c.contrib, 0) AS x
-            FROM vv LEFT JOIN (
-                SELECT pw.dst AS url, SUM(pw.weight * x1.x) AS contrib
-                FROM pw JOIN x1 ON pw.src = x1.url GROUP BY pw.dst
-            ) c ON vv.url = c.url
-        ),
-        b3 AS (SELECT 0.85 * COALESCE((SELECT SUM(x) FROM x2 WHERE url IN (SELECT url FROM dang)), 0) + 0.15 AS beta),
-        x3 AS (
-            SELECT vv.url, (SELECT beta FROM b3) * vv.v + 0.85 * COALESCE(c.contrib, 0) AS x
-            FROM vv LEFT JOIN (
-                SELECT pw.dst AS url, SUM(pw.weight * x2.x) AS contrib
-                FROM pw JOIN x2 ON pw.src = x2.url GROUP BY pw.dst
-            ) c ON vv.url = c.url
-        )
-        SELECT url, ROUND(x, 6) AS score FROM x3 ORDER BY score DESC, url
-        """,
         "url_search": f"""
         WITH e AS ({_EDGES_SQL}),
         scored AS (SELECT dst AS url, COUNT(*) AS score FROM e GROUP BY dst)

@@ -155,8 +155,8 @@ def run_benchmarks(spark) -> dict[str, float]:
 SCALE_N = int(os.environ.get("WSPR_SCALE_CORES", "2"))  # N; 4N is 4*this
 SCALE_EDGES = int(os.environ.get("WSPR_SCALE_EDGES", str(240_000_000)))
 SCALE_VERTS = int(os.environ.get("WSPR_SCALE_VERTS", str(2_000_000)))
-SCALE_ITERS = int(os.environ.get("WSPR_SCALE_ITERS", "3"))
-SCALE_CC_ROUNDS = int(os.environ.get("WSPR_SCALE_CC_ROUNDS", "3"))
+SCALE_ITERS = int(os.environ.get("WSPR_SCALE_ITERS", "6"))
+SCALE_CC_ROUNDS = int(os.environ.get("WSPR_SCALE_CC_ROUNDS", "2"))
 
 
 def scaling_run() -> None:
@@ -181,19 +181,30 @@ def scaling_run() -> None:
 
     # Stage the graph ONCE at full parallelism (the build is not part of the
     # timed metric; what scales is the iteration), then each level loads the
-    # identical parquet graph.
-    stage_dir = tempfile.mkdtemp(prefix="wspr_scale_graph_")
-    spark = make_spark("local[32]", 64)
-    try:
-        from web_search_pagerank_project_spark.operators.graph_build import (
-            save_graph,
-        )
+    # identical parquet graph. The staged dir is content-keyed and reused
+    # across invocations (deterministic seed => identical graph).
+    stage_dir = os.path.join(
+        tempfile.gettempdir(),
+        f"wspr_scale_graph_{SCALE_EDGES}_{SCALE_VERTS}",
+    )
+    marker = os.path.join(stage_dir, "_STAGED")
+    if not os.path.exists(marker):
+        shutil.rmtree(stage_dir, ignore_errors=True)
+        spark = make_spark("local[32]", 64)
+        try:
+            from web_search_pagerank_project_spark.operators.graph_build import (
+                save_graph,
+            )
 
-        g = build_bench_graph(spark, n_edges=SCALE_EDGES, n_verts=SCALE_VERTS)
-        save_graph(g, stage_dir)
-        g.unpersist()
-    finally:
-        spark.stop()
+            g = build_bench_graph(
+                spark, n_edges=SCALE_EDGES, n_verts=SCALE_VERTS
+            )
+            save_graph(g, stage_dir)
+            g.unpersist()
+            with open(marker, "w") as f:
+                f.write("ok")
+        finally:
+            spark.stop()
 
     results = {}
     levels = (SCALE_N, 4 * SCALE_N)
@@ -249,7 +260,6 @@ def scaling_run() -> None:
             graph.unpersist()
         finally:
             spark.stop()
-    shutil.rmtree(stage_dir, ignore_errors=True)
 
     lo, hi = levels
     eff = (results[lo]["pr_wall"] / results[hi]["pr_wall"]) / 4
