@@ -157,6 +157,7 @@ SCALE_EDGES = int(os.environ.get("WSPR_SCALE_EDGES", str(240_000_000)))
 SCALE_VERTS = int(os.environ.get("WSPR_SCALE_VERTS", str(2_000_000)))
 SCALE_ITERS = int(os.environ.get("WSPR_SCALE_ITERS", "6"))
 SCALE_CC_ROUNDS = int(os.environ.get("WSPR_SCALE_CC_ROUNDS", "2"))
+SCALE_REPEATS = int(os.environ.get("WSPR_SCALE_REPEATS", "3"))
 
 
 def scaling_run() -> None:
@@ -231,17 +232,24 @@ def scaling_run() -> None:
                 graph, max_iterations=1, epsilon=0.0,
                 num_blocks=blocks_k, blocks=blocks,
             )  # warmup
-            t0 = time.monotonic()
-            res = pagerank_csr(
-                graph, max_iterations=SCALE_ITERS, epsilon=1e-6,
-                num_blocks=blocks_k, blocks=blocks,
-            )
-            pr_wall = time.monotonic() - t0
+            # min-of-REPEATS: the host is a VM; single local[N] runs jitter
+            # by 2x run-to-run, and min is the standard noise-robust
+            # statistic for a fixed-work benchmark
+            pr_wall = float("inf")
+            for _ in range(SCALE_REPEATS):
+                t0 = time.monotonic()
+                res = pagerank_csr(
+                    graph, max_iterations=SCALE_ITERS, epsilon=1e-6,
+                    num_blocks=blocks_k, blocks=blocks,
+                )
+                pr_wall = min(pr_wall, time.monotonic() - t0)
             # DataFrame kernel (semantic-primary path; heavier parallel work)
             pagerank(graph, max_iterations=1, epsilon=0.0)  # warmup
-            t0 = time.monotonic()
-            res_df = pagerank(graph, max_iterations=SCALE_ITERS, epsilon=1e-6)
-            prdf_wall = time.monotonic() - t0
+            prdf_wall = float("inf")
+            for _ in range(SCALE_REPEATS):
+                t0 = time.monotonic()
+                res_df = pagerank(graph, max_iterations=SCALE_ITERS, epsilon=1e-6)
+                prdf_wall = min(prdf_wall, time.monotonic() - t0)
             t0 = time.monotonic()
             connected_components(
                 graph, max_iterations=SCALE_CC_ROUNDS, raise_on_cap=False
@@ -276,9 +284,10 @@ the same deterministic input at two parallelism levels, local[{lo}] (N) and
 local[{hi}] (4N), sharing nothing but the machine.
 
 Input: synthetic power-law web graph, seed=42, {SCALE_EDGES:,} edges /
-{SCALE_VERTS:,} vertices (zipf a=1.5 hubs). PageRank: CSR block kernel,
-alpha=0.85, {SCALE_ITERS} iterations after 1 warmup (fixed cap => identical
-work at both levels). CC: {SCALE_CC_ROUNDS} min-label rounds (fixed).
+{SCALE_VERTS:,} vertices (zipf a=1.5 hubs). PageRank: both kernels,
+alpha=0.85, {SCALE_ITERS} iterations x {SCALE_REPEATS} repeats after 1
+warmup, min wall taken (fixed cap => identical work at both levels; min
+defeats VM jitter). CC: {SCALE_CC_ROUNDS} min-label rounds (fixed).
 
 | level | PR-CSR wall (s) | iters | iters/hour | edge-traversals/s | PR-DF wall (s) | CC wall (s) |
 |---|---|---|---|---|---|---|
