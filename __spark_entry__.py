@@ -579,24 +579,70 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-dup pairs (rows-only; exact-Jaccard tests in tests/)."""
-    from web_search_pagerank_project_spark.operators.dedup import minhash_dedup
+    """MinHash+LSH candidate generation -> exact 3-gram-Jaccard verification
+    >= 0.8 (VERDICT r1 item 5: the emitted pairs are a deterministic
+    function of the data, so DuckDB can pin them with an all-pairs oracle).
+
+    Banding 128 hashes / 32 bands (r=4) puts per-pair recall at
+    1-(1-J^4)^32 >= 1-1.6e-15 for J >= 0.9 (the corpus' weakest true pair),
+    so candidates ⊇ {exact pairs} and the verified output equals the
+    all-pairs ground truth — which is exactly what the oracle computes.
+    """
+    from web_search_pagerank_project_spark.operators.dedup import (
+        minhash_lsh_candidates,
+        minhash_signatures,
+        ngram_jaccard_pairs,
+    )
 
     docs = _docs(spark, sf_dir)
-    pairs = minhash_dedup(docs, threshold=0.5, num_hashes=64, bands=16)
-    return pairs.orderBy("id_a", "id_b")
+    sigs = minhash_signatures(docs, num_hashes=128, shingle_k=3)
+    cands = minhash_lsh_candidates(sigs, bands=32, rows_per_band=4)
+    return (
+        ngram_jaccard_pairs(docs, cands, n=3)
+        .filter(F.col("jaccard") >= 0.8)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+        .orderBy("id_a", "id_b")
+    )
 
 
 def q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs (rows-only; hamming verified in tests)."""
+    """SimHash pigeonhole candidates (hamming <= 16, EXACT recall for that
+    radius by construction) -> exact 3-gram-Jaccard verification >= 0.8.
+    Oracle-checkable like q_minhash_near_dups: the corpus' true near-dup
+    pairs all sit at hamming <= 5, so the verified output equals the
+    all-pairs ground truth while exercising the simhash path end-to-end."""
     from web_search_pagerank_project_spark.operators.dedup import (
+        ngram_jaccard_pairs,
         simhash_near_dups,
         simhash_signatures,
     )
 
     docs = _docs(spark, sf_dir)
     sigs = simhash_signatures(docs)
-    return simhash_near_dups(sigs, max_hamming=8).orderBy("id_a", "id_b")
+    cands = simhash_near_dups(sigs, max_hamming=16).select("id_a", "id_b")
+    return (
+        ngram_jaccard_pairs(docs, cands, n=3)
+        .filter(F.col("jaccard") >= 0.8)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+        .orderBy("id_a", "id_b")
+    )
+
+
+def q_lsh_pairs_above(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup mining: hyperplane-LSH bucketed candidate
+    pairs -> exact cosine >= 0.4 (operators/similarity.all_pairs_above).
+    48 bands x 3 planes gives per-pair recall 1-(1-p^3)^48 >= 1-1e-6 at
+    cos=0.4 (p = 1 - acos(0.4)/pi = 0.63), so the LSH output equals the
+    all-pairs ground truth the DuckDB oracle computes."""
+    from web_search_pagerank_project_spark.operators.similarity import (
+        all_pairs_above,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    pairs = all_pairs_above(emb, threshold=0.4, bands=48, planes_per_band=3)
+    return pairs.select(
+        "id_a", "id_b", F.round("cosine", 6).alias("cosine")
+    ).orderBy("id_a", "id_b")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -628,7 +674,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_ann_topk": q_lsh_ann_topk,
         "minhash_near_dups": q_minhash_near_dups,
         "simhash_near_dups": q_simhash_near_dups,
+        "lsh_pairs_above": q_lsh_pairs_above,
     }
+
+
+# all-pairs exact word-3-gram Jaccard >= 0.8 over documents — ground truth
+# for BOTH LSH near-dup paths (recall-guaranteed banding makes the engine
+# outputs equal this; see q_minhash_near_dups / q_simhash_near_dups).
+_ALLPAIRS_JACCARD_SQL = r"""
+WITH t AS (
+    SELECT doc_id,
+           string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks
+    FROM documents
+),
+sh AS (
+    SELECT doc_id,
+           CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+                ELSE list_distinct(list_transform(range(1, len(toks) - 1),
+                     i -> array_to_string(list_slice(toks, i, i + 2), ' ')))
+           END AS sh
+    FROM t
+),
+j AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CASE WHEN len(list_distinct(list_concat(a.sh, b.sh))) = 0 THEN 0.0
+                ELSE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                     / len(list_distinct(list_concat(a.sh, b.sh)))
+           END AS jaccard
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, ROUND(jaccard, 6) AS jaccard
+FROM j WHERE jaccard >= 0.8
+ORDER BY id_a, id_b
+"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -898,5 +976,23 @@ def oracle_sql() -> dict[str, str]:
                ) AS cosine
         FROM embeddings WHERE vec_id <> 0
         ORDER BY cosine DESC, vec_id LIMIT 10
+        """,
+        # minhash/simhash emit LSH-candidate pairs verified by EXACT 3-gram
+        # Jaccard >= 0.8; with recall-guaranteed banding (see the query
+        # docstrings) that equals the all-pairs ground truth below.
+        "minhash_near_dups": _ALLPAIRS_JACCARD_SQL,
+        "simhash_near_dups": _ALLPAIRS_JACCARD_SQL,
+        "lsh_pairs_above": """
+        WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               ROUND(
+                 list_dot_product(a.e, b.e)
+                 / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))),
+                 6
+               ) AS cosine
+        FROM v a JOIN v b ON a.vec_id < b.vec_id
+        WHERE list_dot_product(a.e, b.e)
+              / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))) >= 0.4
+        ORDER BY id_a, id_b
         """,
     }

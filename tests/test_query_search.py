@@ -101,3 +101,74 @@ def test_search_synonym_rescoring(spark):
     # covid-news contains 'covid' once -> 0.9^50
     assert np.isclose(scored["covid-news"], ranks["covid-news"] * 0.9**50)
     graph.unpersist()
+
+
+def _write_w2v(path, vecs: dict[str, list[float]]):
+    dim = len(next(iter(vecs.values())))
+    with open(path, "w") as f:
+        f.write(f"{len(vecs)} {dim}\n")
+        for w, v in vecs.items():
+            f.write(w + " " + " ".join(str(x) for x in v) + "\n")
+
+
+def test_word2vec_loader_most_similar(tmp_path):
+    from web_search_pagerank_project_spark.functions.synonyms import WordVectors
+
+    p = str(tmp_path / "vecs.txt")
+    _write_w2v(
+        p,
+        {
+            "corona": [1.0, 0.0, 0.0],
+            "covid": [0.9, 0.1, 0.0],   # nearest to corona
+            "speech": [0.0, 1.0, 0.0],
+            "banana": [0.0, 0.0, 1.0],
+        },
+    )
+    wv = WordVectors.load_word2vec_text(p)
+    sims = wv.most_similar("corona", topn=2)
+    assert sims[0][0] == "covid" and sims[0][1] > 0.98
+    assert sims[1][0] == "speech"
+    # self-exclusion and OOV behavior
+    assert all(w != "corona" for w, _ in sims)
+    assert wv.most_similar("notaword") == []
+
+
+def test_pipeline_synonyms_file_end_to_end(spark, tmp_path):
+    """O20 end-to-end: --synonyms_file drives ws_pagerank.py:209-225's
+    formula (top-5 most_similar, sim**50 re-scoring, widened predicate)
+    from a local word2vec text file."""
+    from web_search_pagerank_project_spark.plans.pipeline import run_pipeline
+
+    # graph whose urls mention covid but the query says corona
+    import gzip
+
+    data = str(tmp_path / "edges.csv.gz")
+    with gzip.open(data, "wt") as f:
+        f.write("source,target\n")
+        f.write("covid-news,covid-speech\n")
+        f.write("covid-speech,corona-bill\n")
+        f.write("corona-bill,covid-news\n")
+    p = str(tmp_path / "vecs.txt")
+    _write_w2v(
+        p,
+        {
+            "corona": [1.0, 0.05, 0.0],
+            "covid": [0.95, 0.1, 0.0],
+            "other": [0.0, 1.0, 0.0],
+        },
+    )
+    out = run_pipeline(
+        spark,
+        data=data,
+        search_query="corona",
+        max_iterations=20,
+        synonyms_file=p,
+    ).collect()
+    urls = {r["url"] for r in out}
+    # exact-match-only semantics would return just corona-bill; the synonym
+    # table must widen the predicate to the covid urls
+    assert "corona-bill" in urls
+    assert "covid-news" in urls and "covid-speech" in urls
+    # re-scoring applied: rankings of covid urls carry sim**50 weight > 0
+    scored = {r["url"]: r["ranking"] for r in out}
+    assert scored["covid-news"] > 0

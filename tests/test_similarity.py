@@ -64,3 +64,31 @@ def test_all_pairs_above_finds_planted_cluster(spark, embeddings):
     assert planted <= found
     # no wild false positives: every found pair truly has cosine >= threshold
     assert all(r["cosine"] >= 0.99 for r in pairs.collect())
+
+
+def test_real_embedding_dim_768(spark):
+    """VERDICT r1 item 4: at dim=768 the old literal-unrolled signature plan
+    exploded (dim x planes x bands Catalyst nodes). The pandas_udf matmul
+    path must analyze + run in seconds and still find the planted cluster
+    and agree with brute force on the top hit."""
+    import time
+
+    dim, n = 768, 400
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal((n, dim))
+    for i in (50, 51, 52):
+        base[i] = base[3] + 0.005 * rng.standard_normal(dim)
+    rows = [(i, [float(x) for x in base[i]]) for i in range(n)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    t0 = time.monotonic()
+    pairs = all_pairs_above(df, threshold=0.995, bands=8, planes_per_band=10)
+    found = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert {(3, 50), (3, 51), (3, 52)} <= found
+    q = [float(x) for x in base[3]]
+    approx = [r["id"] for r in lsh_topk(df, q, k=4, bands=8, planes_per_band=10).collect()]
+    assert approx[0] == 3
+    assert {50, 51, 52} & set(approx)
+    # plan-size regression: the whole thing (2 jobs, dim=768) in seconds,
+    # not the minutes the literal-unrolled plan took to even analyze
+    assert time.monotonic() - t0 < 60

@@ -16,7 +16,11 @@ from .sources.edges import read_edge_csv, read_edge_parquet, edges_from_datafram
 from .operators.graph_build import GraphTables, build_graph
 from .operators.pagerank import pagerank, PageRankResult
 from .operators.csr_kernel import pagerank_csr, build_csr_blocks
-from .operators.components import connected_components
+from .operators.components import (
+    connected_components,
+    connected_components_csr,
+    connected_components_star,
+)
 from .operators.labelprop import label_propagation
 from .operators.triangles import triangle_count
 from .functions.query import query_predicate, make_personalization_vector
@@ -34,6 +38,8 @@ __all__ = [
     "build_csr_blocks",
     "PageRankResult",
     "connected_components",
+    "connected_components_csr",
+    "connected_components_star",
     "label_propagation",
     "triangle_count",
     "query_predicate",

@@ -1,30 +1,54 @@
-"""Weakly-connected components via iterative min-label hash propagation.
+"""Weakly-connected components: three kernels, one contract.
 
-north_star operator X4 (SURVEY.md §2.3): label(v) <- min(label(v),
-min_{u in N(v)} label(u)) over the symmetrized edge set, iterated to a fixed
-point. Labels are the dense vertex ids, and because ``build_graph`` assigns
-ids in url sort order, the converged numeric min-label of a component is the
-id of its lexicographically smallest url — which is exactly the oracle
-contract (tests/oracle.py::connected_components_oracle).
+north_star operator X4 (SURVEY.md §2.3). All three compute label(v) = min
+vertex id reachable over the symmetrized edge set; labels are the dense
+vertex ids, and because ``build_graph`` assigns ids in url sort order, the
+converged numeric min-label of a component is the id of its
+lexicographically smallest url — exactly the oracle contract
+(tests/oracle.py::connected_components_oracle).
+
+  connected_components        DataFrame min-label propagation (join + agg
+                              per round). O(diameter) rounds. The contract/
+                              reference implementation.
+  connected_components_star   alternating large-star/small-star (Kiveris et
+                              al., "Connected Components in MapReduce and
+                              Beyond", 2014). O(log n) rounds on ANY graph —
+                              including adversarial long paths where
+                              min-label needs O(n) rounds. Edge set shrinks
+                              toward a star forest; each round is two
+                              groupBy-min + join phases, all JVM-side.
+  connected_components_csr    min-label over per-partition CSR blocks (the
+                              PageRank CSR kernel's layout, weights dropped,
+                              per-dst min via sorted reduceat instead of
+                              bincount-sum). Multiple rounds batch into one
+                              Spark action (rounds have no cross-round
+                              driver dependency), so fixed driver/stage
+                              latency amortizes — the throughput kernel for
+                              the scaling evidence. Pinned to the DataFrame
+                              kernel by tests.
 
 Scale notes:
-  * the symmetrized edge table is persisted hashed by ``src_id`` once; each
-    iteration shuffles only the label vector (same co-partitioning discipline
-    as PageRank).
+  * the symmetrized edge table (DF kernel) / block table (CSR kernel) is
+    built once and never re-shuffled; each round moves only labels.
   * convergence = zero labels changed, computed in the same action that
-    materializes the new labels (sum of change indicators) — one job per
-    iteration.
-  * iteration count is O(component diameter); web graphs have small diameter.
-    For adversarial long-path graphs the alternating large-star/small-star
-    algorithm (Kiveris et al., "Connected Components in MapReduce") halves
-    rounds; hook left for a future round.
-  * ``localCheckpoint`` per iteration truncates plan/lineage growth.
+    materializes the new labels — one job per round (or per batch).
+  * lineage is cut every round (operators/lineage.py).
 """
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    IntegerType,
+    LongType,
+    StructField,
+    StructType,
+)
 
 from .graph_build import GraphTables
 from .lineage import cut_lineage
@@ -94,6 +118,328 @@ def connected_components(
     if not converged and raise_on_cap:
         raise RuntimeError(f"connected_components: no fixed point in {max_iterations} iters")
     return labels.withColumnRenamed("label", "component")
+
+
+def connected_components_star(
+    graph: GraphTables,
+    max_rounds: int = 60,
+    verbose: bool = False,
+) -> DataFrame:
+    """Alternating large-star/small-star CC (Kiveris et al. 2014).
+
+    Converges in O(log n) rounds on any graph — including long paths where
+    plain min-label propagation needs O(n) rounds. Maintains a shrinking
+    edge set; at the fixed point the edges form stars (child -> component
+    min). Returns (id: long, component: long), identical contract to
+    :func:`connected_components`.
+
+    Each round is two phases of groupBy-min + join (all JVM-side, no
+    Python); the per-round edge set shrinks monotonically toward n-1 star
+    edges, so later rounds get *cheaper*, unlike min-label whose per-round
+    cost is constant. Convergence check: (count, xor of row hashes) of the
+    edge set, computed in the same action that materializes it.
+    """
+    e = (
+        graph.edges.select("src_id", "dst_id")
+        .filter(F.col("src_id") != F.col("dst_id"))
+        .select(
+            F.least("src_id", "dst_id").alias("v"),
+            F.greatest("src_id", "dst_id").alias("u"),
+        )
+        .distinct()  # canonical small-large pairs
+        .select("u", "v")
+        .transform(cut_lineage)
+    )
+
+    def _checksum(df: DataFrame):
+        row = df.agg(
+            F.count("*").alias("c"),
+            # xor-fold is order-insensitive and cannot overflow (unlike sum
+            # under ANSI mode); count+xor pins the edge set
+            F.coalesce(F.expr("bit_xor(xxhash64(u, v))"), F.lit(0)).alias("h"),
+        ).collect()[0]
+        return int(row["c"]), int(row["h"])
+
+    prev = None
+    for rnd in range(max_rounds):
+        # --- large-star: connect every strictly-larger neighbor to the
+        # minimum of the full neighborhood (including the center).
+        sym = e.unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = sym.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("m")
+        )
+        e = (
+            sym.filter(F.col("v") > F.col("u"))
+            .join(mins, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # --- small-star: orient large->small; connect all smaller
+        # neighbors and the center to the neighborhood minimum.
+        o = e.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
+        mins = o.groupBy("u").agg(F.min("v").alias("m"))
+        e = (
+            o.join(mins, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .unionAll(mins.select(F.col("u"), F.col("m").alias("v")))
+            .distinct()
+            .transform(cut_lineage)
+        )
+        cur = _checksum(e)
+        if verbose:
+            print(f"star round={rnd} edges={cur[0]}")
+        if cur == prev:
+            break
+        prev = cur
+    else:
+        raise RuntimeError(f"star CC: no fixed point in {max_rounds} rounds")
+
+    # e is now a star forest: (child u, root v). Singletons & roots map to
+    # themselves.
+    return (
+        graph.vertices.select("id")
+        .join(e.withColumnRenamed("u", "id"), "id", "left")
+        .select("id", F.coalesce(F.col("v"), F.col("id")).alias("component"))
+    )
+
+
+# ------------------------------------------------------------ CSR kernel ----
+
+_MIN_BLOCK_SCHEMA = StructType(
+    [
+        StructField("block", IntegerType()),
+        StructField("src_pos_sorted", ArrayType(IntegerType())),
+        StructField("dst_pos", ArrayType(IntegerType())),
+        StructField("starts", ArrayType(IntegerType())),
+        StructField("out_ptr", ArrayType(IntegerType())),
+        StructField("k", IntegerType()),
+    ]
+)
+
+_LABEL_STATE_SCHEMA = StructType(
+    [
+        StructField("block", IntegerType()),
+        StructField("labels", ArrayType(LongType())),
+        StructField("changed", LongType()),
+    ]
+)
+
+_MIN_PARTIAL_SCHEMA = StructType(
+    [
+        StructField("block_out", IntegerType()),
+        StructField("dst_pos", ArrayType(IntegerType())),
+        StructField("mins", ArrayType(LongType())),
+    ]
+)
+
+
+def build_minlabel_blocks(
+    graph: GraphTables,
+    num_blocks: int,
+    symmetric_edges: DataFrame | None = None,
+) -> DataFrame:
+    """Symmetrized edge set packed as per-block arrays for min-label rounds.
+
+    Layout mirrors csr_kernel.build_csr_blocks but drops weights and
+    pre-sorts edges by destination so the per-dst min is one
+    ``np.minimum.reduceat`` call (there is no bincount-min).
+
+    symmetric_edges: optionally a pre-symmetrized, self-loop-free, distinct
+    (src_id, dst_id) table (e.g. staged parquet) — skips the symmetrize
+    shuffle here.
+    """
+    k = num_blocks
+
+    def to_block(pdf: pd.DataFrame) -> pd.DataFrame:
+        block = int(pdf["block"].iloc[0])
+        src = pdf["src_id"].to_numpy(np.int64)
+        dst = pdf["dst_id"].to_numpy(np.int64)
+        src_pos = ((src - block) // k).astype(np.int32)
+        dst_u = np.unique(dst)
+        order = np.lexsort((dst_u, dst_u % k))
+        dst_sort = dst_u[order]
+        out_blocks = dst_sort % k
+        out_ptr = np.searchsorted(out_blocks, np.arange(k + 1)).astype(np.int32)
+        dst_pos = ((dst_sort - out_blocks) // k).astype(np.int32)
+        val_order = np.argsort(dst_sort, kind="stable")
+        pos_in_valsorted = np.searchsorted(dst_sort[val_order], dst)
+        dst_inv = val_order[pos_in_valsorted].astype(np.int32)
+        edge_order = np.argsort(dst_inv, kind="stable")
+        src_pos_sorted = src_pos[edge_order]
+        starts = np.searchsorted(
+            dst_inv[edge_order], np.arange(len(dst_sort))
+        ).astype(np.int32)
+        return pd.DataFrame(
+            {
+                "block": [block],
+                "src_pos_sorted": [src_pos_sorted],
+                "dst_pos": [dst_pos],
+                "starts": [starts],
+                "out_ptr": [out_ptr],
+                "k": [k],
+            }
+        )
+
+    spark = graph.edges.sparkSession
+    p = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    if symmetric_edges is not None:
+        sym = symmetric_edges.select("src_id", "dst_id")
+    else:
+        e = graph.edges.select("src_id", "dst_id")
+        sym = (
+            e.unionAll(
+                e.select(F.col("dst_id").alias("src_id"), F.col("src_id").alias("dst_id"))
+            )
+            .filter(F.col("src_id") != F.col("dst_id"))
+            .distinct()
+        )
+    return (
+        sym.withColumn("block", F.pmod(F.col("src_id"), F.lit(k)).cast("int"))
+        .groupBy("block")
+        .applyInPandas(to_block, _MIN_BLOCK_SCHEMA)
+        # same partitioning-preserving leaf trick as build_csr_blocks: the
+        # per-round cogroups must never re-shuffle the edge arrays
+        .repartition(p, "block")
+        .localCheckpoint(eager=True)
+    )
+
+
+def connected_components_csr(
+    graph: GraphTables,
+    max_rounds: int = 100,
+    num_blocks: int | None = None,
+    blocks: DataFrame | None = None,
+    rounds_per_action: int = 1,
+    raise_on_cap: bool = True,
+    verbose: bool = False,
+) -> DataFrame:
+    """Min-label propagation over per-block arrays (throughput kernel).
+
+    Semantics identical to :func:`connected_components` (tests pin the two
+    label-for-label). ``rounds_per_action`` batches rounds into one Spark
+    action — rounds have no cross-round driver dependency (unlike
+    PageRank's β), so batching only coarsens the convergence check: up to
+    ``rounds_per_action - 1`` no-op rounds may run past the fixed point.
+    """
+    spark = graph.edges.sparkSession
+    n = graph.n
+    if n == 0:
+        raise ValueError("empty graph")
+    if blocks is None:
+        k = num_blocks or int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+        blocks = build_minlabel_blocks(graph, k)
+    else:
+        k = int(blocks.select("k").first()["k"])
+        if num_blocks is not None and num_blocks != k:
+            raise ValueError(
+                f"blocks table was packed with k={k} but num_blocks={num_blocks}"
+            )
+
+    # initial labels = own ids; ids of block b are b, b+k, b+2k, ... so the
+    # state is generated directly per block — no join, no vertex scan
+    nn, kk = n, k
+
+    def init_state(pdf: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for b in pdf["block"]:
+            b = int(b)
+            out.append((b, np.arange(b, nn, kk, dtype=np.int64), 0))
+        return pd.DataFrame(out, columns=["block", "labels", "changed"])
+
+    state = cut_lineage(
+        spark.range(k)
+        .select(F.col("id").cast("int").alias("block"))
+        .groupBy("block")
+        .applyInPandas(init_state, _LABEL_STATE_SCHEMA),
+        eager=True,
+    )
+
+    def spmv_min(key, left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if len(left) == 0 or len(right) == 0:
+            return pd.DataFrame(
+                {"block_out": pd.Series([], dtype="int32"),
+                 "dst_pos": pd.Series([], dtype=object),
+                 "mins": pd.Series([], dtype=object)}
+            )
+        labels = np.asarray(right["labels"].iloc[0], dtype=np.int64)
+        sps = np.asarray(left["src_pos_sorted"].iloc[0], dtype=np.int32)
+        dst_pos = np.asarray(left["dst_pos"].iloc[0], dtype=np.int32)
+        starts = np.asarray(left["starts"].iloc[0], dtype=np.int32)
+        out_ptr = np.asarray(left["out_ptr"].iloc[0], dtype=np.int32)
+        mins = (
+            np.minimum.reduceat(labels[sps], starts)
+            if len(starts)
+            else np.empty(0, dtype=np.int64)
+        )
+        rows_b, rows_p, rows_m = [], [], []
+        for ob in range(len(out_ptr) - 1):
+            s, e = out_ptr[ob], out_ptr[ob + 1]
+            if e > s:
+                rows_b.append(ob)
+                rows_p.append(dst_pos[s:e])
+                rows_m.append(mins[s:e])
+        return pd.DataFrame(
+            {
+                "block_out": pd.Series(rows_b, dtype="int32"),
+                "dst_pos": rows_p,
+                "mins": rows_m,
+            }
+        )
+
+    def merge_min(key, left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        labels = np.asarray(left["labels"].iloc[0], dtype=np.int64)
+        new = labels.copy()
+        if len(right):
+            pos = np.concatenate(
+                [np.asarray(p, dtype=np.int32) for p in right["dst_pos"]]
+            )
+            mn = np.concatenate(
+                [np.asarray(m, dtype=np.int64) for m in right["mins"]]
+            )
+            np.minimum.at(new, pos, mn)
+        return pd.DataFrame(
+            {
+                "block": [int(key[0])],
+                "labels": [new],
+                "changed": [int((new != labels).sum())],
+            }
+        )
+
+    done = 0
+    converged = False
+    while done < max_rounds and not converged:
+        batch = min(rounds_per_action, max_rounds - done)
+        st = state
+        for _ in range(batch):
+            partials = (
+                blocks.groupBy("block")
+                .cogroup(st.groupBy("block"))
+                .applyInPandas(spmv_min, _MIN_PARTIAL_SCHEMA)
+            )
+            st = cut_lineage(
+                st.groupBy("block")
+                .cogroup(partials.groupBy("block_out"))
+                .applyInPandas(merge_min, _LABEL_STATE_SCHEMA)
+            )
+        changed = int(st.agg(F.sum("changed")).collect()[0][0] or 0)
+        state = st
+        done += batch
+        if verbose:
+            print(f"cc_csr rounds<={done} changed(last)={changed}")
+        if changed == 0:
+            converged = True
+    if not converged and raise_on_cap:
+        raise RuntimeError(f"connected_components_csr: no fixed point in {max_rounds} rounds")
+
+    z = state.select("block", F.posexplode("labels").alias("pos", "component"))
+    return z.select(
+        (F.col("block").cast("long") + F.col("pos").cast("long") * F.lit(k)).alias("id"),
+        "component",
+    )
 
 
 def component_sizes(components: DataFrame) -> DataFrame:

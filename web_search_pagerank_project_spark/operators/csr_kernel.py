@@ -8,37 +8,62 @@ static graph as **per-partition CSR blocks** (numpy arrays boxed in DataFrame
 rows) once, then runs each iteration as vectorized numpy over Arrow-packed
 batches:
 
-  block layout (static, built once, cached):
+  block layout (static, built once, cached; K = num_blocks):
     edges are hash-partitioned by ``src_id % K`` into K blocks. Each block
     row stores, for its local edge set:
       src_pos   int32[nnz_b]   position of the edge's source in the block's
-                               sorted local vertex-id list (gather index)
-      dst_sort  int64[d_b]     the block's distinct dst ids, sorted by
-                               (dst % K, dst) so contribution slices bound
-                               for the same output block are contiguous
-      dst_inv   int32[nnz_b]   index of each edge's dst into dst_sort
+                               vertex array (dense ids => (src-block)//K)
+      dst_pos   int32[d_b]     position of each distinct dst in its TARGET
+                               block's vertex array ((dst-out_block)//K),
+                               sorted by (out_block, dst) so contribution
+                               slices bound for the same output block are
+                               contiguous
+      dst_inv   int32[nnz_b]   index of each edge's dst into dst_pos
       weight    float64[nnz_b]
-      out_ptr   int32[K+1]     slice boundaries of dst_sort per output block
+      out_ptr   int32[K+1]     slice boundaries of dst_pos per output block
+      k         int32          the block count the arrays were packed with
+                               (validated against the kernel's K — a blocks
+                               table built with a different K is rejected
+                               instead of silently mis-routing)
 
-  state layout (dynamic, K rows, localCheckpoint'ed per iteration):
-    (block, xs: float64[n_b], res_sq: double, dang_sum: double)
+  state layout (dynamic, K rows, lineage-cut per iteration):
+    (block, xs: float64[n_b], v: float64[n_b] | null, dang_idx: int32[·],
+     res_sq: double, dang_sum: double)
+    Static per-block data (personalization slice, dangling positions) rides
+    IN the state rows, so the loop needs NO per-iteration join against a
+    vertex table and NO driver-side broadcast of the rank vector — the only
+    per-iteration data movement is one hash exchange of the state rows
+    (reused by both cogroups below) plus the packed contribution arrays.
+    For uniform personalization (v is null) the constant 1/sqrt(n) is a
+    closure scalar and the v arrays are not materialized at all.
 
-  one iteration = one Spark action:
-    1. pack:    state ⋈ static vertex block table (K-row broadcast join)
-    2. SpMV:    per block, contrib = bincount(dst_inv, w * x[src_pos]) —
-                a map-side combine: every (block, dst) contribution leaves
-                the task already summed
-    3. shuffle: K² *array* rows (block_out, dst_ids, contribs) — the only
-                data movement; volume ≈ Σ_b d_b packed doubles, never raw
-                edges
-    4. merge:   cogroup by output block: x' = β·v + α·Σ contribs, plus the
-                residual term and next iteration's dangling mass computed in
-                the same pass
-    5. agg:     sqrt(sum(res_sq)), sum(dang_sum) over K rows -> driver
+  one iteration = one Spark action, two cogroups:
+    1. SpMV:    cogroup(blocks, state) by block — blocks are CACHED already
+                hash-partitioned by block, so only the state side shuffles;
+                per block, contrib = bincount(dst_inv, w * x[src_pos]), cut
+                into per-target-block slices (map-side combine: every
+                (block, dst) contribution leaves the task already summed)
+    2. shuffle: K² *array* rows (block_out, dst_pos, contribs) — volume
+                ≈ Σ_b d_b packed (int32, float64) pairs, never raw edges
+    3. merge:   cogroup(state, partials) by output block (the state exchange
+                is the SAME subtree as step 1's, so Spark reuses it):
+                x' = β·v + α·Σ contribs, plus the residual term and next
+                iteration's dangling mass computed in the same pass
+    4. agg:     sqrt(sum(res_sq)), sum(dang_sum) over K rows -> driver
 
-  β for iteration t uses Σ x_t[dangling], which step 4 of iteration t-1
+  β for iteration t uses Σ x_t[dangling], which step 3 of iteration t-1
   already produced — so there is no extra dangling-mass job at all (the
   DataFrame path runs a semi-join aggregate for it every iteration).
+
+  ``iters_per_action`` batches several power iterations into one action:
+  sub-iterations chain through lazily lineage-cut state; β for the inner
+  steps is computed JVM-side (1-row aggregate, broadcast cross-join) so no
+  driver round-trip happens between sub-iterations. Identical numerics —
+  the convergence check just happens every ``iters_per_action`` steps, so
+  at most ``iters_per_action - 1`` extra iterations run past convergence
+  (callers that need exact reference iteration-count parity use the
+  default of 1). This trades driver/stage-launch latency — the measured
+  local-mode limiter, BENCH/BASELINE.md — for check granularity.
 
 Numeric semantics are identical to operators/pagerank.py (reference
 ws_pagerank.py:121-178, float64): L2-normalized v, x0 = 1/sqrt(n), no
@@ -50,7 +75,9 @@ scale K grows with the cluster so each block's arrays stay ~100-500 MB
 (nnz/K edges); block rows are Arrow-serialized, so executors never hold the
 whole graph. A mega-hub dst collects at most one packed partial per block
 (K rows total), which is exactly salted two-phase aggregation with salt =
-source block — hub skew cannot concentrate on one reducer.
+source block — hub skew cannot concentrate on one reducer. The rank vector
+is never broadcast and never touches the driver: state rows shuffle
+peer-to-peer, so vertex state is sharded, not replicated.
 """
 
 from __future__ import annotations
@@ -67,7 +94,6 @@ from pyspark.sql.types import (
     ArrayType,
     DoubleType,
     IntegerType,
-    LongType,
     StructField,
     StructType,
 )
@@ -80,26 +106,18 @@ _CSR_SCHEMA = StructType(
     [
         StructField("block", IntegerType()),
         StructField("src_pos", ArrayType(IntegerType())),
-        StructField("dst_sort", ArrayType(LongType())),
+        StructField("dst_pos", ArrayType(IntegerType())),
         StructField("dst_inv", ArrayType(IntegerType())),
         StructField("weight", ArrayType(DoubleType())),
         StructField("out_ptr", ArrayType(IntegerType())),
-    ]
-)
-
-_VERT_SCHEMA = StructType(
-    [
-        StructField("block", IntegerType()),
-        StructField("ids", ArrayType(LongType())),
-        StructField("v", ArrayType(DoubleType())),
-        StructField("dang", ArrayType(IntegerType())),
+        StructField("k", IntegerType()),
     ]
 )
 
 _PARTIAL_SCHEMA = StructType(
     [
         StructField("block_out", IntegerType()),
-        StructField("dst_ids", ArrayType(LongType())),
+        StructField("dst_pos", ArrayType(IntegerType())),
         StructField("contribs", ArrayType(DoubleType())),
     ]
 )
@@ -108,6 +126,8 @@ _STATE_SCHEMA = StructType(
     [
         StructField("block", IntegerType()),
         StructField("xs", ArrayType(DoubleType())),
+        StructField("v", ArrayType(DoubleType()), nullable=True),
+        StructField("dang_idx", ArrayType(IntegerType())),
         StructField("res_sq", DoubleType()),
         StructField("dang_sum", DoubleType()),
     ]
@@ -115,7 +135,12 @@ _STATE_SCHEMA = StructType(
 
 
 def build_csr_blocks(graph: GraphTables, num_blocks: int) -> DataFrame:
-    """Materialize the weighted edge table as K cached CSR block rows."""
+    """Materialize the weighted edge table as K cached CSR block rows.
+
+    The cached plan ends in a hash exchange on ``block``, so downstream
+    cogroups see HashPartitioning(block, P) on this side and shuffle only
+    the (small) state — the edge arrays are moved exactly once, here.
+    """
     k = num_blocks
 
     def to_block(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -123,24 +148,17 @@ def build_csr_blocks(graph: GraphTables, num_blocks: int) -> DataFrame:
         src = pdf["src_id"].to_numpy(np.int64)
         dst = pdf["dst_id"].to_numpy(np.int64)
         w = pdf["weight"].to_numpy(np.float64)
-        # local vertex universe of this block = all ids ≡ block (mod K) —
-        # but we only need positions of *sources present here*; the packed
-        # x arrays cover every id in the block, sorted, so searchsorted
-        # against the sorted block id list is exact. That list is implicit:
-        # ids ≡ block (mod K) sorted ascending -> position = (id - block)//K
-        # ONLY if ids are dense 0..n-1. They are (dictionary encode), but n
-        # may not divide evenly; position arithmetic stays exact regardless.
+        # dense ids (dictionary encode) make block-local positions pure
+        # arithmetic: id -> (id - id%K) // K
         src_pos = ((src - block) // k).astype(np.int32)
         # distinct dsts sorted by (out_block, dst) with slice boundaries
         dst_u = np.unique(dst)
         order = np.lexsort((dst_u, dst_u % k))
         dst_sort = dst_u[order]
-        out_blocks = (dst_sort % k).astype(np.int64)
+        out_blocks = dst_sort % k
         out_ptr = np.searchsorted(out_blocks, np.arange(k + 1)).astype(np.int32)
-        # inverse: edge dst -> index in dst_sort
-        pos_in_sorted = np.searchsorted(dst_sort, dst)  # dst_sort not sorted by dst!
-        # dst_sort is sorted by (mod, value); build a value-sorted view for
-        # the inverse lookup then map through the permutation
+        dst_pos = ((dst_sort - out_blocks) // k).astype(np.int32)
+        # inverse: edge dst -> index in dst_sort (via a value-sorted view)
         val_order = np.argsort(dst_sort, kind="stable")
         dst_valsorted = dst_sort[val_order]
         pos_in_valsorted = np.searchsorted(dst_valsorted, dst)
@@ -149,66 +167,106 @@ def build_csr_blocks(graph: GraphTables, num_blocks: int) -> DataFrame:
             {
                 "block": [block],
                 "src_pos": [src_pos],
-                "dst_sort": [dst_sort],
+                "dst_pos": [dst_pos],
                 "dst_inv": [dst_inv],
                 "weight": [w],
                 "out_ptr": [out_ptr],
+                "k": [k],
             }
         )
 
+    spark = graph.edges.sparkSession
+    p = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     blocks = (
         graph.edges.withColumn(
             "block", F.pmod(F.col("src_id"), F.lit(k)).cast("int")
         )
         .groupBy("block")
         .applyInPandas(to_block, _CSR_SCHEMA)
-        .persist()
+        # FlatMapGroupsInPandas does NOT advertise an outputPartitioning, so
+        # a cache of its raw output would be re-exchanged by every downstream
+        # cogroup — i.e. the edge arrays would re-shuffle EVERY iteration.
+        # Persisting behind an explicit hash repartition makes the scan
+        # advertise HashPartitioning(block, P): the per-iteration cogroups
+        # then shuffle only the state side.
+        .repartition(p, "block")
+        # plain localCheckpoint (NOT cut_lineage): Dataset.checkpoint carries
+        # the physical plan's outputPartitioning into the LogicalRDD, stores
+        # the arrays (MEMORY_AND_DISK), and truncates the whole graph-build
+        # lineage — so each iteration's plan sees a LEAF here instead of
+        # re-canonicalizing/optimizing the full build DAG. One-time cut: the
+        # iterative stats-squaring pathology (operators/lineage.py) does not
+        # apply.
+        .localCheckpoint(eager=True)
     )
-    blocks.count()
     return blocks
 
 
-def _pack_vertices(
-    graph: GraphTables, v_df: DataFrame | None, num_blocks: int
+def _make_state(
+    graph: GraphTables,
+    v_df: DataFrame | None,
+    k: int,
+    x_df: DataFrame | None = None,
 ) -> DataFrame:
-    """(block, ids, v, dang) — static per-block vertex arrays; v already
-    L2-normalized (the packing UDF receives the norm as a closure scalar)."""
-    k = num_blocks
+    """Build the K-row block state (eagerly lineage-cut).
+
+    v_df: optional personalization (id, v). It need NOT be dense — missing
+    ids get v=0.0 via the outer join (positional packing can therefore
+    never misalign; a sparse v simply puts no teleport mass there).
+    x_df:  optional initial iterate (id, x), e.g. a checkpoint resume;
+           defaults to the constant 1/sqrt(n).
+    """
     n = graph.n
+    x0_val = 1.0 / math.sqrt(n)
     dang = dangling_vertices(graph).withColumn("_d", F.lit(1))
-    if v_df is None:
-        base = graph.vertices.select(
-            "id", F.lit(1.0 / n).cast("double").alias("vraw")
-        )
+    rows = graph.vertices.select(
+        "id", F.pmod(F.col("id"), F.lit(k)).cast("int").alias("block")
+    ).join(dang, "id", "left")
+
+    uniform_v = v_df is None
+    if uniform_v:
+        rows = rows.withColumn("vraw", F.lit(None).cast("double"))
+        norm = 1.0  # unused
     else:
         base = v_df.select("id", F.col("v").cast("double").alias("vraw"))
-    norm = float(
-        base.agg(F.sqrt(F.sum(F.col("vraw") * F.col("vraw")))).collect()[0][0]
-    )
-    rows = (
-        base.join(dang, "id", "left")
-        .select(
-            "id",
-            "vraw",
-            F.coalesce(F.col("_d"), F.lit(0)).alias("dang"),
-            F.pmod(F.col("id"), F.lit(k)).cast("int").alias("block"),
+        norm = float(
+            base.agg(F.sqrt(F.sum(F.col("vraw") * F.col("vraw")))).collect()[0][0]
         )
-    )
+        rows = rows.join(base, "id", "left").withColumn(
+            "vraw", F.coalesce(F.col("vraw"), F.lit(0.0))
+        )
+    if x_df is None:
+        rows = rows.withColumn("x", F.lit(x0_val).cast("double"))
+    else:
+        rows = rows.join(x_df.select("id", "x"), "id", "left").withColumn(
+            "x", F.coalesce(F.col("x"), F.lit(0.0))
+        )
 
     def pack(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("id")
+        xs = pdf["x"].to_numpy(np.float64)
+        dang_idx = np.flatnonzero(pdf["_d"].notna().to_numpy()).astype(np.int32)
+        v_arr = None if uniform_v else pdf["vraw"].to_numpy(np.float64) / norm
         return pd.DataFrame(
             {
                 "block": [int(pdf["block"].iloc[0])],
-                "ids": [pdf["id"].to_numpy(np.int64)],
-                "v": [pdf["vraw"].to_numpy(np.float64) / norm],
-                "dang": [pdf["dang"].to_numpy(np.int32)],
+                "xs": [xs],
+                "v": [v_arr],
+                "dang_idx": [dang_idx],
+                "res_sq": [0.0],
+                "dang_sum": [float(xs[dang_idx].sum())],
             }
         )
 
-    out = rows.groupBy("block").applyInPandas(pack, _VERT_SCHEMA).persist()
-    out.count()
-    return out
+    state = rows.groupBy("block").applyInPandas(pack, _STATE_SCHEMA)
+    return cut_lineage(state, eager=True)
+
+
+def _blocks_k(blocks: DataFrame) -> int:
+    """Read the packing K recorded in a blocks table (ADVICE r1: a blocks
+    DataFrame built with a different K must be rejected, not mis-routed)."""
+    row = blocks.select("k").first()
+    return int(row["k"])
 
 
 def pagerank_csr(
@@ -222,23 +280,39 @@ def pagerank_csr(
     checkpoint_every: int = 10,
     verbose: bool = False,
     blocks: DataFrame | None = None,
+    iters_per_action: int = 1,
 ) -> PageRankResult:
     """Power method over per-partition CSR blocks; exact reference semantics.
 
     ``blocks`` may be passed in (from :func:`build_csr_blocks`) to amortize
     the one-time build across multiple runs (e.g. several personalization
-    vectors over the same graph).
+    vectors over the same graph); its recorded packing K overrides
+    ``num_blocks`` and the two must agree if both are given.
+
+    ``iters_per_action`` > 1 fuses that many power steps into one Spark
+    action (β chains JVM-side); numerics are unchanged but the ε-stop is
+    only checked once per batch — use 1 (default) when exact reference
+    iteration-count parity matters.
     """
     spark = graph.edges.sparkSession
     n = graph.n
     if n == 0:
         raise ValueError("empty graph")
-    k = num_blocks or int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    if iters_per_action < 1:
+        raise ValueError("iters_per_action must be >= 1")
 
     own_blocks = blocks is None
     if blocks is None:
+        k = num_blocks or int(
+            spark.conf.get("spark.sql.shuffle.partitions", "32")
+        )
         blocks = build_csr_blocks(graph, k)
-    verts = _pack_vertices(graph, v, k)
+    else:
+        k = _blocks_k(blocks)
+        if num_blocks is not None and num_blocks != k:
+            raise ValueError(
+                f"blocks table was packed with k={k} but num_blocks={num_blocks}"
+            )
 
     x0_val = 1.0 / math.sqrt(n)
     start_iter = 0
@@ -247,187 +321,173 @@ def pagerank_csr(
         resumed = checkpointer.resume(spark)
         if resumed is not None:
             ranks_df, start_iter = resumed
-            state = _state_from_ranks(ranks_df, verts, k)
+            state = _make_state(
+                graph, v, k, x_df=ranks_df.withColumnRenamed("rank", "x")
+            )
     if state is None:
-        state = verts.select(
-            "block",
-            F.transform("ids", lambda _: F.lit(x0_val)).alias("xs"),
-            F.lit(0.0).alias("res_sq"),
-            (
-                F.aggregate(
-                    "dang", F.lit(0.0), lambda acc, d: acc + d.cast("double")
-                )
-                * F.lit(x0_val)
-            ).alias("dang_sum"),
-        )
-        state = cut_lineage(state)
+        state = _make_state(graph, v, k)
 
     dang_total = float(state.agg(F.sum("dang_sum")).collect()[0][0])
+    uniform_v = v is None
+
+    a = float(alpha)
+
+    def spmv(key, left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        # left: the CSR block row; right: the state row (may be absent when
+        # the block has vertices but no out-edges, or vice versa)
+        if len(left) == 0 or len(right) == 0:
+            return pd.DataFrame(
+                {"block_out": pd.Series([], dtype="int32"),
+                 "dst_pos": pd.Series([], dtype=object),
+                 "contribs": pd.Series([], dtype=object)}
+            )
+        x = np.asarray(right["xs"].iloc[0], dtype=np.float64)
+        src_pos = np.asarray(left["src_pos"].iloc[0], dtype=np.int32)
+        dst_inv = np.asarray(left["dst_inv"].iloc[0], dtype=np.int32)
+        w = np.asarray(left["weight"].iloc[0], dtype=np.float64)
+        dst_pos = np.asarray(left["dst_pos"].iloc[0], dtype=np.int32)
+        out_ptr = np.asarray(left["out_ptr"].iloc[0], dtype=np.int32)
+        contrib = np.bincount(
+            dst_inv, weights=w * x[src_pos], minlength=len(dst_pos)
+        )
+        out_blocks, out_pos, out_contribs = [], [], []
+        for ob in range(len(out_ptr) - 1):
+            s, e = out_ptr[ob], out_ptr[ob + 1]
+            if e > s:
+                out_blocks.append(ob)
+                out_pos.append(dst_pos[s:e])
+                out_contribs.append(contrib[s:e])
+        return pd.DataFrame(
+            {
+                "block_out": pd.Series(out_blocks, dtype="int32"),
+                "dst_pos": out_pos,
+                "contribs": out_contribs,
+            }
+        )
+
+    def make_merge(beta_scalar: float | None):
+        bs = beta_scalar
+
+        def merge(key, left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+            if len(left) == 0:  # partials for a block with no vertices: bug
+                raise RuntimeError(f"partials for unknown block {key}")
+            x_old = np.asarray(left["xs"].iloc[0], dtype=np.float64)
+            dang_idx = np.asarray(left["dang_idx"].iloc[0], dtype=np.int32)
+            beta = bs if bs is not None else float(left["beta"].iloc[0])
+            if len(right):
+                pos_all = np.concatenate(
+                    [np.asarray(p, dtype=np.int32) for p in right["dst_pos"]]
+                )
+                cs_all = np.concatenate(
+                    [np.asarray(c, dtype=np.float64) for c in right["contribs"]]
+                )
+                contrib = np.bincount(
+                    pos_all, weights=cs_all, minlength=len(x_old)
+                )
+            else:
+                contrib = np.zeros(len(x_old), dtype=np.float64)
+            if uniform_v:
+                x_new = beta * x0_val + a * contrib
+            else:
+                vv = np.asarray(left["v"].iloc[0], dtype=np.float64)
+                x_new = beta * vv + a * contrib
+            diff = x_new - x_old
+            v_out = None if uniform_v else np.asarray(left["v"].iloc[0], dtype=np.float64)
+            return pd.DataFrame(
+                {
+                    "block": [int(key[0])],
+                    "xs": [x_new],
+                    "v": [v_out],
+                    "dang_idx": [dang_idx],
+                    "res_sq": [float(diff @ diff)],
+                    "dang_sum": [float(x_new[dang_idx].sum())],
+                }
+            )
+
+        return merge
 
     residuals: list[float] = []
     metrics: list[IterationMetrics] = []
     converged = False
     it = start_iter
+    done = start_iter  # iterations completed
 
-    for it in range(start_iter, max_iterations):
+    while done < max_iterations and not converged:
         t0 = time.monotonic()
-        beta = alpha * dang_total + (1.0 - alpha)
-
-        def spmv(batches) -> "pd.DataFrame":
-            for pdf in batches:
-                yield _spmv_batch(pdf)
-
-        def _spmv_batch(pdf: pd.DataFrame) -> pd.DataFrame:
-            out_blocks, out_dsts, out_contribs = [], [], []
-            for _, row in pdf.iterrows():
-                x = np.asarray(row["xs"], dtype=np.float64)
-                src_pos = np.asarray(row["src_pos"], dtype=np.int32)
-                dst_inv = np.asarray(row["dst_inv"], dtype=np.int32)
-                w = np.asarray(row["weight"], dtype=np.float64)
-                dst_sort = np.asarray(row["dst_sort"], dtype=np.int64)
-                out_ptr = np.asarray(row["out_ptr"], dtype=np.int32)
-                contrib = np.bincount(
-                    dst_inv, weights=w * x[src_pos], minlength=len(dst_sort)
+        batch = min(iters_per_action, max_iterations - done)
+        st = state
+        for sub in range(batch):
+            if sub == 0:
+                beta_scalar = a * dang_total + (1.0 - a)
+                st_in = st
+            else:
+                # β from the previous sub-iteration's dang_sum, computed
+                # JVM-side: 1-row aggregate broadcast-crossed into the state
+                beta_scalar = None
+                beta_row = st.agg(
+                    (F.lit(a) * F.sum("dang_sum") + F.lit(1.0 - a)).alias("beta")
                 )
-                for ob in range(len(out_ptr) - 1):
-                    s, e = out_ptr[ob], out_ptr[ob + 1]
-                    if e > s:
-                        out_blocks.append(ob)
-                        out_dsts.append(dst_sort[s:e])
-                        out_contribs.append(contrib[s:e])
-            return pd.DataFrame(
-                {
-                    "block_out": pd.Series(out_blocks, dtype="int32"),
-                    "dst_ids": out_dsts,
-                    "contribs": out_contribs,
-                }
+                st_in = st.crossJoin(F.broadcast(beta_row))
+            partials = (
+                blocks.groupBy("block")
+                .cogroup(st_in.groupBy("block"))
+                .applyInPandas(spmv, _PARTIAL_SCHEMA)
             )
-
-        partials = (
-            blocks.join(state.select("block", "xs"), "block")
-            .mapInPandas(spmv, _PARTIAL_SCHEMA)
-        )
-
-        b, a = float(beta), float(alpha)
-
-        def merge(key, left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
-            ids = np.asarray(left["ids"].iloc[0], dtype=np.int64)
-            vv = np.asarray(left["v"].iloc[0], dtype=np.float64)
-            dang_mask = np.asarray(left["dang"].iloc[0], dtype=np.int32)
-            x_old = np.asarray(left["xs"].iloc[0], dtype=np.float64)
-            contrib = np.zeros(len(ids), dtype=np.float64)
-            kk = int(key[0])
-            for _, row in right.iterrows():
-                dsts = np.asarray(row["dst_ids"], dtype=np.int64)
-                cs = np.asarray(row["contribs"], dtype=np.float64)
-                pos = np.searchsorted(ids, dsts)
-                np.add.at(contrib, pos, cs)
-            x_new = b * vv + a * contrib
-            diff = x_new - x_old
-            return pd.DataFrame(
-                {
-                    "block": [kk],
-                    "xs": [x_new],
-                    "res_sq": [float(diff @ diff)],
-                    "dang_sum": [float(x_new[dang_mask == 1].sum())],
-                }
+            st = (
+                st_in.groupBy("block")
+                .cogroup(partials.groupBy("block_out"))
+                .applyInPandas(make_merge(beta_scalar), _STATE_SCHEMA)
             )
+            # cut_lineage, NOT plain localCheckpoint: this plan has no
+            # Aggregate to clamp estimated stats, so inherited sizeInBytes
+            # would square every iteration (see operators/lineage.py).
+            # Lazy — the residual aggregate below is the one action.
+            st = cut_lineage(st)
 
-        packed = verts.join(state.select("block", "xs"), "block")
-        # cut_lineage, NOT plain localCheckpoint: this plan has no Aggregate
-        # to clamp estimated stats, so inherited sizeInBytes would square
-        # every iteration (see operators/lineage.py). Lazy — the residual
-        # aggregate below is the one action that materializes it.
-        new_state = cut_lineage(
-            packed.groupBy("block")
-            .cogroup(partials.groupBy("block_out"))
-            .applyInPandas(merge, _STATE_SCHEMA)
-        )
-
-        row = new_state.agg(
+        row = st.agg(
             F.sqrt(F.sum("res_sq")).alias("r"), F.sum("dang_sum").alias("d")
         ).collect()[0]
         residual, dang_total = float(row["r"]), float(row["d"])
+        state = st
+        done += batch
+        it = done - 1
 
         wall_ms = (time.monotonic() - t0) * 1000.0
         residuals.append(residual)
-        metrics.append(IterationMetrics(it, residual, wall_ms))
+        metrics.append(IterationMetrics(it, residual, wall_ms / batch))
         if verbose:
             print(f"i={it} residual={residual}")
 
-        state = new_state
         if checkpointer is not None and (
-            (it + 1) % checkpoint_every == 0 or residual < epsilon
+            done % checkpoint_every == 0 or residual < epsilon
         ):
             checkpointer.write(
-                _ranks_from_state(state, verts),
-                iteration=it + 1,
+                _ranks_from_state(state, k),
+                iteration=done,
                 meta={"residual": residual, "alpha": alpha, "wall_ms": wall_ms},
             )
         if residual < epsilon:
             converged = True
-            break
 
-    ranks = _ranks_from_state(state, verts)
+    ranks = _ranks_from_state(state, k)
     if own_blocks:
         blocks.unpersist()
-    verts.unpersist()
     return PageRankResult(
         ranks=ranks,
-        iterations=(it + 1),
+        iterations=done,
         converged=converged,
         residuals=residuals,
         metrics=metrics,
     )
 
 
-def _ranks_from_state(state: DataFrame, verts: DataFrame) -> DataFrame:
-    """Unpack block arrays back into (id, rank) rows."""
-    z = (
-        verts.select("block", "ids")
-        .join(state.select("block", "xs"), "block")
-        .select(F.explode(F.arrays_zip("ids", "xs")).alias("z"))
+def _ranks_from_state(state: DataFrame, k: int) -> DataFrame:
+    """Unpack block arrays back into (id, rank) rows; ids are implicit:
+    block-local position p in block b <=> dense id b + p*K."""
+    z = state.select(
+        "block", F.posexplode("xs").alias("pos", "rank")
     )
     return z.select(
-        F.col("z.ids").alias("id"), F.col("z.xs").alias("rank")
-    )
-
-
-def _state_from_ranks(ranks: DataFrame, verts: DataFrame, k: int) -> DataFrame:
-    """Repack a (id, rank) checkpoint into block state (resume path)."""
-
-    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("id")
-        return pd.DataFrame(
-            {
-                "block": [int(pdf["block"].iloc[0])],
-                "xs": [pdf["rank"].to_numpy(np.float64)],
-                "res_sq": [0.0],
-                "dang_sum": [0.0],
-            }
-        )
-
-    packed = (
-        ranks.withColumn("block", F.pmod(F.col("id"), F.lit(k)).cast("int"))
-        .groupBy("block")
-        .applyInPandas(pack, _STATE_SCHEMA)
-    )
-    # dang_sum must reflect the resumed x: recompute via the verts dang mask
-    def fix(key, left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
-        xs = np.asarray(left["xs"].iloc[0], dtype=np.float64)
-        dang = np.asarray(right["dang"].iloc[0], dtype=np.int32)
-        return pd.DataFrame(
-            {
-                "block": [int(key[0])],
-                "xs": [xs],
-                "res_sq": [0.0],
-                "dang_sum": [float(xs[dang == 1].sum())],
-            }
-        )
-
-    return cut_lineage(
-        packed.groupBy("block")
-        .cogroup(verts.select("block", "dang").groupBy("block"))
-        .applyInPandas(fix, _STATE_SCHEMA),
-        eager=True,
+        (F.col("block").cast("long") + F.col("pos").cast("long") * F.lit(k)).alias("id"),
+        "rank",
     )

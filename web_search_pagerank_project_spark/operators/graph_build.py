@@ -127,7 +127,11 @@ def build_graph(
     if num_partitions is None:
         num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
 
+    # clean feeds BOTH the dictionary build and the edge encode; persisting it
+    # saves a full re-scan/re-parse of the (gzipped CSV) source.
     clean = drop_bad_urls(edges)
+    if cache:
+        clean = clean.persist()
 
     # vertex dictionary over BOTH endpoints, pre-filter_ratio (reference dict
     # keeps vertices whose every edge is later filtered away)
@@ -158,11 +162,22 @@ def build_graph(
         # hot set is small by construction -> broadcast anti-join
         e = e.join(F.broadcast(hot.select("dst_id")), "dst_id", "left_anti")
 
-    # multiplicity + out-degree -> weights (duplicates collapse into weight)
-    mult = e.groupBy("src_id", "dst_id").agg(F.count("*").alias("mult"))
-    outdeg = mult.groupBy("src_id").agg(F.sum("mult").alias("outdeg"))
+    # multiplicity + out-degree -> weights (duplicates collapse into weight).
+    # ONE exchange: hash by src_id up front, then the (src_id, dst_id)
+    # group-count needs no further shuffle (HashPartitioning(src_id)
+    # satisfies ClusteredDistribution(src_id, dst_id)), the out-degree is a
+    # sum-over-window on the same partitioning, and the result is already in
+    # the kernel's contract partitioning (hashed by src_id) — the old
+    # mult -> outdeg agg -> join -> repartition chain cost 3 extra shuffles.
+    # (Window partitionBy(src_id) concentrates each source's edges in one
+    # task — fine for web out-degrees, which are bounded by page size;
+    # in-degree hubs, the skewed side, never pass through a window here.)
+    w = Window.partitionBy("src_id")
     weighted = (
-        mult.join(outdeg, "src_id")
+        e.repartition(num_partitions, "src_id")
+        .groupBy("src_id", "dst_id")
+        .agg(F.count("*").alias("mult"))
+        .withColumn("outdeg", F.sum("mult").over(w))
         .select(
             "src_id",
             "dst_id",
@@ -170,11 +185,11 @@ def build_graph(
                 "weight"
             ),
         )
-        .repartition(num_partitions, "src_id")
     )
     if cache:
         weighted = weighted.persist()
         weighted.count()  # materialize so iterations never re-derive lineage
+        clean.unpersist()
 
     return GraphTables(vertices=vertices, edges=weighted, n=n)
 

@@ -1,28 +1,45 @@
 """Similarity search over an embedding column (array<float>).
 
-Two paths (SURVEY round-1 brief):
+Three paths (SURVEY round-1 brief):
 
   brute_force_topk   exact cosine top-k: dot products via ``F.zip_with`` +
                      ``F.aggregate`` (JVM-side, no Python), then a bounded
                      TakeOrderedAndProject. The correctness baseline.
   lsh_topk           scale path: random-hyperplane LSH (signed projections)
-                     bucket join — candidates share >= 1 band bucket; exact
-                     cosine re-scoring on candidates only. Probe cost is
-                     O(candidates), not O(n).
-  all_pairs_above    embedding near-dup mining: LSH buckets -> exact cosine
-                     filter >= threshold (the embedding-cosine dedup entry).
+                     bucket probe — candidates share >= 1 band bucket with
+                     the query; exact cosine re-scoring on candidates only.
+  all_pairs_above    embedding near-dup mining: LSH buckets -> candidate id
+                     pairs -> exact cosine filter >= threshold.
 
-At 100 TB the vectors table is bucketed by LSH key so the probe join is a
-partition-pruned lookup; signatures are tiny (bands x 4 bytes) next to the
-raw vectors, and only candidate rows ever deserialize the full embedding.
+Scale design (reworked per VERDICT r1 item 4):
+
+  * Signatures for ALL bands are computed in ONE Arrow-batched pandas_udf:
+    a single (batch, dim) x (dim, bands*planes) matmul against a closure
+    numpy plane matrix. The old implementation unrolled dim x planes
+    ``F.lit`` terms into the Catalyst plan per band — at dim=768 that is
+    ~25k literal nodes and analysis/codegen explodes; the plan here is ONE
+    projection node regardless of dim (a dim-768 regression test pins
+    this). The plane matrix ships inside the serialized task closure
+    (O(bands*planes*dim) doubles, ~600 KB at 768x96 — broadcast-by-task,
+    not per-row).
+  * The bucket self-join carries ONLY (band, bucket, id) — 16 bytes a row,
+    never the embedding. Candidate pairs are deduped across bands FIRST,
+    then the vectors table is joined back twice for exact verification, so
+    each surviving pair deserializes exactly two embeddings once. (The old
+    path copied both raw vectors into every banded join row.)
+  * At 100 TB the vectors table is bucketed/sorted by id so the two
+    verification joins are co-partitioned lookups; the banded key table is
+    the only thing that shuffles wide.
 """
 
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, LongType
 
 
 def _norm(col):
@@ -58,25 +75,37 @@ def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
     return rng.standard_normal((n_planes, dim))
 
 
-def lsh_bucket_col(vec_col, planes: np.ndarray):
-    """Signed-projection signature packed into one long per band of 16 bits...
-    here: one long for up to 63 planes (sign bits)."""
-    bits = []
-    for i, p in enumerate(planes):
-        proj = F.aggregate(
-            F.zip_with(
-                vec_col,
-                F.array(*[F.lit(float(x)) for x in p]),
-                lambda x, y: x * y,
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        bits.append(F.when(proj >= 0, F.lit(1 << i)).otherwise(F.lit(0)))
-    acc = F.lit(0)
-    for b in bits:
-        acc = acc + b
-    return acc.cast("long")
+def _plane_matrix(dim: int, bands: int, planes_per_band: int, seed: int) -> np.ndarray:
+    """(bands*planes_per_band, dim) — per-band blocks keep the same per-band
+    seeds as the driver-side query-signature path (lsh_topk)."""
+    return np.vstack(
+        [_hyperplanes(dim, planes_per_band, seed + 1000 * b) for b in range(bands)]
+    )
+
+
+def lsh_signature_col(
+    dim: int,
+    bands: int = 4,
+    planes_per_band: int = 8,
+    seed: int = 42,
+    vec_col: str = "embedding",
+):
+    """array<long> column of per-band sign signatures — one vectorized
+    pandas_udf (batch matmul + bit packing), one plan node at any dim."""
+    planes = _plane_matrix(dim, bands, planes_per_band, seed)
+    weights = (1 << np.arange(planes_per_band)).astype(np.int64)
+    nb, ppb = bands, planes_per_band
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def sigs(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype=object)
+        mat = np.stack(v.to_numpy()).astype(np.float64)  # (B, dim)
+        bits = (mat @ planes.T) >= 0.0  # (B, nb*ppb)
+        packed = bits.reshape(len(v), nb, ppb).astype(np.int64) @ weights  # (B, nb)
+        return pd.Series(list(packed))
+
+    return sigs(F.col(vec_col))
 
 
 def add_lsh_buckets(
@@ -89,14 +118,23 @@ def add_lsh_buckets(
 ) -> DataFrame:
     """Adds (band, bucket) rows per embedding: `bands` independent sign
     signatures of `planes_per_band` bits each."""
-    out = embeddings
-    cols = []
-    for b in range(bands):
-        planes = _hyperplanes(dim, planes_per_band, seed + 1000 * b)
-        cols.append(lsh_bucket_col(F.col(vec_col).cast("array<double>"), planes))
-    return out.select(
-        "*", F.posexplode(F.array(*cols)).alias("band", "bucket")
+    sig = lsh_signature_col(dim, bands, planes_per_band, seed, vec_col)
+    return embeddings.select(
+        "*", F.posexplode(sig).alias("band", "bucket")
     )
+
+
+def _query_buckets(
+    query_vec: list[float], bands: int, planes_per_band: int, seed: int
+) -> list[tuple[int, int]]:
+    """Driver-side query signature (tiny numpy, mirrors lsh_signature_col)."""
+    dim = len(query_vec)
+    q = np.asarray(query_vec, dtype=np.float64)
+    planes = _plane_matrix(dim, bands, planes_per_band, seed)
+    bits = (planes @ q) >= 0.0
+    weights = (1 << np.arange(planes_per_band)).astype(np.int64)
+    packed = bits.reshape(bands, planes_per_band).astype(np.int64) @ weights
+    return [(b, int(packed[b])) for b in range(bands)]
 
 
 def lsh_topk(
@@ -112,13 +150,7 @@ def lsh_topk(
     """Approximate top-k: candidates = rows sharing >= 1 band bucket with the
     query; exact cosine on candidates. Recall grows with `bands`."""
     dim = len(query_vec)
-    q = np.asarray(query_vec, dtype=np.float64)
-    # driver-side query signature (tiny numpy, mirrors lsh_bucket_col exactly)
-    wanted = []
-    for b in range(bands):
-        planes = _hyperplanes(dim, planes_per_band, seed + 1000 * b)
-        sig = int(sum((1 << i) for i, p in enumerate(planes) if float(p @ q) >= 0))
-        wanted.append((b, sig))
+    wanted = _query_buckets(query_vec, bands, planes_per_band, seed)
     bucketed = add_lsh_buckets(
         embeddings, dim, bands, planes_per_band, seed, vec_col
     )
@@ -145,25 +177,28 @@ def all_pairs_above(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs (id_a < id_b, cosine >= threshold)
-    via LSH candidate generation + exact verification."""
+    via LSH candidate generation + exact verification. The banded self-join
+    moves only (band, bucket, id); embeddings are re-joined per candidate
+    pair after cross-band dedup."""
     first = embeddings.select(vec_col).first()
     dim = len(first[0])
-    bucketed = add_lsh_buckets(embeddings, dim, bands, planes_per_band, seed, vec_col)
-    a = bucketed.select(
-        F.col("band").alias("band_a"), F.col("bucket").alias("bucket_a"),
-        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"),
+    keys = add_lsh_buckets(
+        embeddings, dim, bands, planes_per_band, seed, vec_col
+    ).select("band", "bucket", F.col(id_col).alias("id"))
+    a = keys.select("band", "bucket", F.col("id").alias("id_a"))
+    b = keys.select("band", "bucket", F.col("id").alias("id_b"))
+    cands = (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
     )
-    b = bucketed.select(
-        F.col("band").alias("band_b"), F.col("bucket").alias("bucket_b"),
-        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"),
+    vecs = embeddings.select(F.col(id_col).alias("_vid"), F.col(vec_col).alias("_v"))
+    pairs = (
+        cands.join(vecs.withColumnRenamed("_vid", "id_a").withColumnRenamed("_v", "va"), "id_a")
+        .join(vecs.withColumnRenamed("_vid", "id_b").withColumnRenamed("_v", "vb"), "id_b")
     )
-    cands = a.join(
-        b,
-        (F.col("band_a") == F.col("band_b"))
-        & (F.col("bucket_a") == F.col("bucket_b"))
-        & (F.col("id_a") < F.col("id_b")),
-    ).dropDuplicates(["id_a", "id_b"])
     sim = cosine_sim(F.col("va").cast("array<double>"), F.col("vb").cast("array<double>"))
-    return cands.select("id_a", "id_b", sim.alias("cosine")).filter(
+    return pairs.select("id_a", "id_b", sim.alias("cosine")).filter(
         F.col("cosine") >= threshold
     )

@@ -45,6 +45,12 @@ def build_parser() -> argparse.ArgumentParser:
         "per-partition CSR block fast path (operators/csr_kernel.py)",
     )
     parser.add_argument("--output", default=None, help="optional parquet sink")
+    parser.add_argument(
+        "--synonyms_file",
+        default=None,
+        help="local word2vec-text vector file for query synonym expansion "
+        "(replaces the reference's network-downloaded gensim model)",
+    )
     return parser
 
 
@@ -78,6 +84,7 @@ def main(argv: list[str] | None = None) -> None:
             checkpointer=ckpt,
             verbose=args.verbose,
             kernel=args.kernel,
+            synonyms_file=args.synonyms_file,
         )
     else:
         from ..operators.graph_build import build_graph

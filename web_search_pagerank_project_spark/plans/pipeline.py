@@ -95,9 +95,16 @@ def run_pipeline(
     checkpointer=None,
     verbose: bool = False,
     kernel: str = "dataframe",
+    synonyms_file: str | None = None,
 ) -> DataFrame:
     """Reference CLI pipeline, returns the search result DataFrame and logs
-    rows in the reference's ``rank=i pagerank=... url=...`` format."""
+    rows in the reference's ``rank=i pagerank=... url=...`` format.
+
+    synonyms_file: optional local word2vec-text vector file; when given,
+    search terms are expanded with their top-5 nearest words and results
+    re-scored sim**50-weighted, reproducing ws_pagerank.py:196-225 without
+    the network-downloaded gensim model (functions/synonyms.py).
+    """
     edges = read_edge_csv(spark, data)
     graph = build_graph(edges, filter_ratio=filter_ratio)
     v = (
@@ -115,7 +122,18 @@ def run_pipeline(
         checkpointer=checkpointer,
         verbose=verbose,
     )
-    out = search(graph, result, query=search_query, max_results=max_results)
+    synonyms = None
+    if synonyms_file and search_query:
+        from ..functions.synonyms import WordVectors, synonyms_for_query
+
+        pos, _ = _split_terms(search_query)
+        synonyms = synonyms_for_query(
+            WordVectors.load_word2vec_text(synonyms_file), pos
+        )
+    out = search(
+        graph, result, query=search_query, max_results=max_results,
+        synonyms=synonyms,
+    )
     for i, row in enumerate(out.collect()):
         log.info(f"rank={i} pagerank={row['ranking']:0.4e} url={row['url']}")
     return out

@@ -98,9 +98,21 @@ def incremental_pages(
 
 
 def write_pages(df: DataFrame, target: str, mode: str = "append") -> None:
-    """Append a batch of captures. Iceberg table name -> writeTo (snapshot
-    commit); path -> parquet append."""
+    """Write a batch of captures. Iceberg table name -> writeTo (snapshot
+    commit, honoring ``mode``); path -> parquet with the given save mode.
+
+    ADVICE r1: the table path must branch on ``mode`` — silently appending
+    on mode='overwrite' corrupts downstream reads.
+    """
     if "/" not in target and not target.endswith(".parquet"):
-        df.writeTo(target).append()
+        if mode == "append":
+            df.writeTo(target).append()
+        elif mode == "overwrite":
+            df.writeTo(target).createOrReplace()
+        else:
+            raise ValueError(
+                f"write_pages: unsupported mode {mode!r} for table targets "
+                "(use 'append' or 'overwrite')"
+            )
     else:
         df.write.mode(mode).parquet(target)

@@ -63,7 +63,9 @@ def first_seen_urls(
     ) -> Iterator[pd.DataFrame]:
         if state.hasTimedOut:
             state.remove()
-            yield pd.DataFrame({"url": []})
+            # explicit string dtype: an empty default-dtype frame would rely
+            # on Arrow coercing float64 -> string (ADVICE r1)
+            yield pd.DataFrame({"url": pd.Series([], dtype="object")})
             return
         seen = set(state.get[0]) if state.exists else set()
         out: list[str] = []
