@@ -37,33 +37,39 @@ batches:
     For uniform personalization (v is null) the constant 1/sqrt(n) is a
     closure scalar and the v arrays are not materialized at all.
 
-  one iteration = one Spark action, two cogroups:
+  one iteration = two cogroups, ZERO driver participation:
     1. SpMV:    cogroup(blocks, state) by block — blocks are CACHED already
                 hash-partitioned by block, so only the state side shuffles;
                 per block, contrib = bincount(dst_inv, w * x[src_pos]), cut
                 into per-target-block slices (map-side combine: every
                 (block, dst) contribution leaves the task already summed)
-    2. shuffle: K² *array* rows (block_out, dst_pos, contribs) — volume
-                ≈ Σ_b d_b packed (int32, float64) pairs, never raw edges
+    2. shuffle: K² *array* rows (block_out, dst_pos, contribs, dang_part) —
+                volume ≈ Σ_b d_b packed (int32, float64) pairs, never raw
+                edges. Each source block also sends its local dangling mass
+                Σ x[dangling-in-block] — ONE float64 — to every output
+                block, so the global teleport scalar β is reconstructible
+                block-locally: K scalars ride a shuffle that happens
+                anyway, replacing the global aggregate + broadcast/driver
+                round-trip that β normally costs an iteration.
     3. merge:   cogroup(state, partials) by output block (the state exchange
                 is the SAME subtree as step 1's, so Spark reuses it):
-                x' = β·v + α·Σ contribs, plus the residual term and next
-                iteration's dangling mass computed in the same pass
-    4. agg:     sqrt(sum(res_sq)), sum(dang_sum) over K rows -> driver
-
-  β for iteration t uses Σ x_t[dangling], which step 3 of iteration t-1
-  already produced — so there is no extra dangling-mass job at all (the
-  DataFrame path runs a semi-join aggregate for it every iteration).
+                β = α·Σ dang_part + (1-α) (scalars sorted before summing
+                for run-to-run float64 determinism), then
+                x' = β·v + α·Σ contribs, plus the residual term and the
+                next iteration's dang_part computed in the same pass.
+    4. agg:     sqrt(sum(res_sq)) over K rows -> driver, once per ACTION —
+                the only scalar that ever reaches the driver, and only for
+                the ε-stop check.
 
   ``iters_per_action`` batches several power iterations into one action:
-  sub-iterations chain through lazily lineage-cut state; β for the inner
-  steps is computed JVM-side (1-row aggregate, broadcast cross-join) so no
-  driver round-trip happens between sub-iterations. Identical numerics —
-  the convergence check just happens every ``iters_per_action`` steps, so
-  at most ``iters_per_action - 1`` extra iterations run past convergence
-  (callers that need exact reference iteration-count parity use the
-  default of 1). This trades driver/stage-launch latency — the measured
-  local-mode limiter, BENCH/BASELINE.md — for check granularity.
+  sub-iterations chain through lazily lineage-cut state with no
+  synchronization between them (β needs no global view — see step 2).
+  Identical numerics — the convergence check just happens every
+  ``iters_per_action`` steps, so at most ``iters_per_action - 1`` extra
+  iterations run past convergence (callers that need exact reference
+  iteration-count parity use the default of 1). This trades
+  driver/stage-launch latency — the measured local-mode limiter,
+  BENCH/BASELINE.md — for check granularity.
 
 Numeric semantics are identical to operators/pagerank.py (reference
 ws_pagerank.py:121-178, float64): L2-normalized v, x0 = 1/sqrt(n), no
@@ -119,6 +125,11 @@ _PARTIAL_SCHEMA = StructType(
         StructField("block_out", IntegerType()),
         StructField("dst_pos", ArrayType(IntegerType())),
         StructField("contribs", ArrayType(DoubleType())),
+        # the source block's dangling mass Σ x[dangling-in-block]: every
+        # source block sends its scalar to EVERY output block, so β is
+        # computable block-locally in the merge — no global aggregate, no
+        # broadcast, no driver round-trip anywhere in the iteration
+        StructField("dang_part", DoubleType()),
     ]
 )
 
@@ -327,84 +338,100 @@ def pagerank_csr(
     if state is None:
         state = _make_state(graph, v, k)
 
-    dang_total = float(state.agg(F.sum("dang_sum")).collect()[0][0])
     uniform_v = v is None
-
     a = float(alpha)
+    kk = k
 
     def spmv(key, left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
-        # left: the CSR block row; right: the state row (may be absent when
-        # the block has vertices but no out-edges, or vice versa)
-        if len(left) == 0 or len(right) == 0:
+        # left: the CSR block row; right: the state row. A state block with
+        # no out-edges (left empty) must STILL broadcast its dangling mass
+        # to every output block; a blocks row without state cannot happen
+        # (state covers all dense ids).
+        if len(right) == 0:
             return pd.DataFrame(
                 {"block_out": pd.Series([], dtype="int32"),
                  "dst_pos": pd.Series([], dtype=object),
-                 "contribs": pd.Series([], dtype=object)}
+                 "contribs": pd.Series([], dtype=object),
+                 "dang_part": pd.Series([], dtype="float64")}
             )
-        x = np.asarray(right["xs"].iloc[0], dtype=np.float64)
-        src_pos = np.asarray(left["src_pos"].iloc[0], dtype=np.int32)
-        dst_inv = np.asarray(left["dst_inv"].iloc[0], dtype=np.int32)
-        w = np.asarray(left["weight"].iloc[0], dtype=np.float64)
-        dst_pos = np.asarray(left["dst_pos"].iloc[0], dtype=np.int32)
-        out_ptr = np.asarray(left["out_ptr"].iloc[0], dtype=np.int32)
-        contrib = np.bincount(
-            dst_inv, weights=w * x[src_pos], minlength=len(dst_pos)
-        )
-        out_blocks, out_pos, out_contribs = [], [], []
-        for ob in range(len(out_ptr) - 1):
-            s, e = out_ptr[ob], out_ptr[ob + 1]
-            if e > s:
-                out_blocks.append(ob)
-                out_pos.append(dst_pos[s:e])
-                out_contribs.append(contrib[s:e])
+        dang_part = float(right["dang_sum"].iloc[0])
+        empty_i = np.empty(0, dtype=np.int32)
+        empty_d = np.empty(0, dtype=np.float64)
+        out_pos: list = [empty_i] * kk
+        out_contribs: list = [empty_d] * kk
+        if len(left):
+            x = np.asarray(right["xs"].iloc[0], dtype=np.float64)
+            src_pos = np.asarray(left["src_pos"].iloc[0], dtype=np.int32)
+            dst_inv = np.asarray(left["dst_inv"].iloc[0], dtype=np.int32)
+            w = np.asarray(left["weight"].iloc[0], dtype=np.float64)
+            dst_pos = np.asarray(left["dst_pos"].iloc[0], dtype=np.int32)
+            out_ptr = np.asarray(left["out_ptr"].iloc[0], dtype=np.int32)
+            contrib = np.bincount(
+                dst_inv, weights=w * x[src_pos], minlength=len(dst_pos)
+            )
+            for ob in range(kk):
+                s, e = out_ptr[ob], out_ptr[ob + 1]
+                if e > s:
+                    out_pos[ob] = dst_pos[s:e]
+                    out_contribs[ob] = contrib[s:e]
         return pd.DataFrame(
             {
-                "block_out": pd.Series(out_blocks, dtype="int32"),
+                "block_out": pd.Series(range(kk), dtype="int32"),
                 "dst_pos": out_pos,
                 "contribs": out_contribs,
+                "dang_part": pd.Series([dang_part] * kk, dtype="float64"),
             }
         )
 
-    def make_merge(beta_scalar: float | None):
-        bs = beta_scalar
-
-        def merge(key, left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
-            if len(left) == 0:  # partials for a block with no vertices: bug
-                raise RuntimeError(f"partials for unknown block {key}")
-            x_old = np.asarray(left["xs"].iloc[0], dtype=np.float64)
-            dang_idx = np.asarray(left["dang_idx"].iloc[0], dtype=np.int32)
-            beta = bs if bs is not None else float(left["beta"].iloc[0])
-            if len(right):
-                pos_all = np.concatenate(
-                    [np.asarray(p, dtype=np.int32) for p in right["dst_pos"]]
-                )
-                cs_all = np.concatenate(
-                    [np.asarray(c, dtype=np.float64) for c in right["contribs"]]
-                )
-                contrib = np.bincount(
-                    pos_all, weights=cs_all, minlength=len(x_old)
-                )
-            else:
-                contrib = np.zeros(len(x_old), dtype=np.float64)
-            if uniform_v:
-                x_new = beta * x0_val + a * contrib
-            else:
-                vv = np.asarray(left["v"].iloc[0], dtype=np.float64)
-                x_new = beta * vv + a * contrib
-            diff = x_new - x_old
-            v_out = None if uniform_v else np.asarray(left["v"].iloc[0], dtype=np.float64)
+    def merge(key, left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if len(left) == 0:
+            # only legal when n < K: vertex-less blocks receive pure
+            # dangling-broadcast rows (empty arrays). Data routed to a
+            # vertex-less block is a kernel bug — fail loudly.
+            if any(len(p) for p in right["dst_pos"]):
+                raise RuntimeError(f"contributions for unknown block {key}")
             return pd.DataFrame(
-                {
-                    "block": [int(key[0])],
-                    "xs": [x_new],
-                    "v": [v_out],
-                    "dang_idx": [dang_idx],
-                    "res_sq": [float(diff @ diff)],
-                    "dang_sum": [float(x_new[dang_idx].sum())],
-                }
+                {c: pd.Series([], dtype=t)
+                 for c, t in zip(
+                     ["block", "xs", "v", "dang_idx", "res_sq", "dang_sum"],
+                     ["int32", object, object, object, "float64", "float64"],
+                 )}
             )
-
-        return merge
+        x_old = np.asarray(left["xs"].iloc[0], dtype=np.float64)
+        dang_idx = np.asarray(left["dang_idx"].iloc[0], dtype=np.int32)
+        # β from the per-source-block dangling scalars that rode the
+        # partials shuffle (sorted before summing for run-to-run float64
+        # determinism regardless of shuffle arrival order)
+        dang_total = float(np.sort(right["dang_part"].to_numpy(np.float64)).sum())
+        beta = a * dang_total + (1.0 - a)
+        if len(right):
+            pos_all = np.concatenate(
+                [np.asarray(p, dtype=np.int32) for p in right["dst_pos"]]
+            )
+            cs_all = np.concatenate(
+                [np.asarray(c, dtype=np.float64) for c in right["contribs"]]
+            )
+            contrib = np.bincount(
+                pos_all, weights=cs_all, minlength=len(x_old)
+            )
+        else:
+            contrib = np.zeros(len(x_old), dtype=np.float64)
+        if uniform_v:
+            x_new = beta * x0_val + a * contrib
+        else:
+            x_new = beta * np.asarray(left["v"].iloc[0], dtype=np.float64) + a * contrib
+        diff = x_new - x_old
+        v_out = None if uniform_v else np.asarray(left["v"].iloc[0], dtype=np.float64)
+        return pd.DataFrame(
+            {
+                "block": [int(key[0])],
+                "xs": [x_new],
+                "v": [v_out],
+                "dang_idx": [dang_idx],
+                "res_sq": [float(diff @ diff)],
+                "dang_sum": [float(x_new[dang_idx].sum())],
+            }
+        )
 
     residuals: list[float] = []
     metrics: list[IterationMetrics] = []
@@ -416,27 +443,16 @@ def pagerank_csr(
         t0 = time.monotonic()
         batch = min(iters_per_action, max_iterations - done)
         st = state
-        for sub in range(batch):
-            if sub == 0:
-                beta_scalar = a * dang_total + (1.0 - a)
-                st_in = st
-            else:
-                # β from the previous sub-iteration's dang_sum, computed
-                # JVM-side: 1-row aggregate broadcast-crossed into the state
-                beta_scalar = None
-                beta_row = st.agg(
-                    (F.lit(a) * F.sum("dang_sum") + F.lit(1.0 - a)).alias("beta")
-                )
-                st_in = st.crossJoin(F.broadcast(beta_row))
+        for _sub in range(batch):
             partials = (
                 blocks.groupBy("block")
-                .cogroup(st_in.groupBy("block"))
+                .cogroup(st.groupBy("block"))
                 .applyInPandas(spmv, _PARTIAL_SCHEMA)
             )
             st = (
-                st_in.groupBy("block")
+                st.groupBy("block")
                 .cogroup(partials.groupBy("block_out"))
-                .applyInPandas(make_merge(beta_scalar), _STATE_SCHEMA)
+                .applyInPandas(merge, _STATE_SCHEMA)
             )
             # cut_lineage, NOT plain localCheckpoint: this plan has no
             # Aggregate to clamp estimated stats, so inherited sizeInBytes
@@ -444,10 +460,8 @@ def pagerank_csr(
             # Lazy — the residual aggregate below is the one action.
             st = cut_lineage(st)
 
-        row = st.agg(
-            F.sqrt(F.sum("res_sq")).alias("r"), F.sum("dang_sum").alias("d")
-        ).collect()[0]
-        residual, dang_total = float(row["r"]), float(row["d"])
+        row = st.agg(F.sqrt(F.sum("res_sq")).alias("r")).collect()[0]
+        residual = float(row["r"])
         state = st
         done += batch
         it = done - 1
