@@ -97,7 +97,10 @@ def run_benchmarks(spark) -> dict[str, float]:
 
     res = timed(
         "pagerank",
-        lambda: pagerank(graph, max_iterations=PR_MAX_ITERS, epsilon=1e-6),
+        lambda: pagerank(
+            graph, max_iterations=PR_MAX_ITERS, epsilon=1e-6,
+            iters_per_action=2,
+        ),
     )
     detail["pagerank_iters"] = res.iterations
     detail["pagerank_iters_per_hour"] = round(
@@ -172,10 +175,118 @@ SCALE_REPEATS = int(os.environ.get("WSPR_SCALE_REPEATS", "3"))
 # power iterations fused per Spark action (driver-latency amortization;
 # identical numerics — see csr_kernel.pagerank_csr)
 SCALE_IPA = int(os.environ.get("WSPR_SCALE_IPA", "3"))
+# block count, FIXED across levels (identical work), sized so each block's
+# CSR arrays stay ~3M edges. Coarser K (= top-level partition count) was
+# measured and rejected: with one heavy block per partition, stragglers
+# cost the high-parallelism level ~25% despite the smaller partials
+# shuffle — many blocks per partition smooths load imbalance.
+SCALE_BLOCKS = int(
+    os.environ.get("WSPR_SCALE_BLOCKS", str(max(16, SCALE_EDGES // 3_000_000)))
+)
+
+
+def scale_level_run(cores: int) -> None:
+    """One scaling level: local[cores] measurements, ONE JSON line out.
+
+    Invoked by scaling_run as a subprocess under ``taskset -c 0-(cores-1)``
+    so the core budget is enforced at the OS level for the whole process
+    tree (JVM threads + forked python workers).
+    """
+    import tempfile
+
+    os.environ.setdefault("WSPR_DRIVER_MEM", "48g")
+    stage_dir = os.path.join(
+        tempfile.gettempdir(),
+        f"wspr_scale_graph_{SCALE_EDGES}_{SCALE_VERTS}",
+    )
+    parts = cores * 2
+    spark = make_spark(f"local[{cores}]", parts)
+    try:
+        from web_search_pagerank_project_spark import (
+            build_csr_blocks,
+            connected_components_csr,
+            pagerank,
+            pagerank_csr,
+        )
+        from web_search_pagerank_project_spark.operators.components import (
+            build_minlabel_blocks,
+        )
+        from web_search_pagerank_project_spark.operators.graph_build import (
+            load_graph,
+        )
+
+        graph = load_graph(spark, stage_dir, num_partitions=parts)
+        blocks_k = SCALE_BLOCKS
+        # AQE off for the block kernels only: their plans are statically
+        # partitioned and fixed-shape, so per-exchange re-planning is
+        # pure driver latency. The DataFrame kernel KEEPS AQE (it relies
+        # on runtime stats to broadcast the rank side of the SpMV join).
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        blocks = build_csr_blocks(graph, blocks_k)
+        pagerank_csr(
+            graph, max_iterations=1, epsilon=0.0, blocks=blocks,
+        )  # warmup
+        # min-of-REPEATS: the host is a VM; single local[N] runs jitter
+        # by 2x run-to-run, and min is the standard noise-robust
+        # statistic for a fixed-work benchmark
+        pr_wall = float("inf")
+        for _ in range(SCALE_REPEATS):
+            t0 = time.monotonic()
+            res = pagerank_csr(
+                graph, max_iterations=SCALE_ITERS, epsilon=1e-6,
+                blocks=blocks, iters_per_action=SCALE_IPA,
+            )
+            pr_wall = min(pr_wall, time.monotonic() - t0)
+        # DataFrame kernel (semantic-primary path; heavier parallel work)
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        pagerank(graph, max_iterations=1, epsilon=0.0)  # warmup
+        prdf_wall = float("inf")
+        for _ in range(SCALE_REPEATS):
+            t0 = time.monotonic()
+            res_df = pagerank(
+                graph, max_iterations=SCALE_ITERS, epsilon=1e-6,
+                iters_per_action=SCALE_IPA,
+            )
+            prdf_wall = min(prdf_wall, time.monotonic() - t0)
+        # CC: fixed min-label rounds over pre-staged symmetric edges;
+        # the block build is untimed setup (same discipline as the
+        # PageRank blocks / the staged graph build)
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        sym = spark.read.parquet(f"{stage_dir}/sym_edges")
+        cc_blocks = build_minlabel_blocks(
+            graph, blocks_k, symmetric_edges=sym
+        )
+        connected_components_csr(
+            graph, max_rounds=1, blocks=cc_blocks, raise_on_cap=False
+        )  # warmup
+        cc_wall = float("inf")
+        for _ in range(SCALE_REPEATS):
+            t0 = time.monotonic()
+            connected_components_csr(
+                graph,
+                max_rounds=SCALE_CC_ROUNDS,
+                blocks=cc_blocks,
+                rounds_per_action=SCALE_CC_ROUNDS,
+                raise_on_cap=False,
+            ).count()
+            cc_wall = min(cc_wall, time.monotonic() - t0)
+        print(json.dumps({
+            "pr_wall": pr_wall,
+            "pr_iters": res.iterations,
+            "iters_per_hour": res.iterations / pr_wall * 3600,
+            "edges_per_sec": res.iterations * SCALE_EDGES / pr_wall,
+            "prdf_wall": prdf_wall,
+            "prdf_iters_per_hour": res_df.iterations / prdf_wall * 3600,
+            "cc_wall": cc_wall,
+        }))
+        blocks.unpersist()
+        graph.unpersist()
+    finally:
+        spark.stop()
 
 
 def scaling_run() -> None:
-    """Identical job at local[N] vs local[4N] -> BENCH/BASELINE.md.
+    """Identical job at N vs 4N CPU-affinity-pinned cores -> BENCH/BASELINE.md.
 
     Workload sizing: per-iteration parallel work must dominate the fixed
     per-iteration cost (driver scheduling + a handful of stage launches,
@@ -186,6 +297,7 @@ def scaling_run() -> None:
     first at each level (JIT + python worker spin-up).
     """
     import shutil
+    import subprocess
     import tempfile
 
     # One JVM serves every level (py4j keeps it across SparkSession
@@ -238,90 +350,29 @@ def scaling_run() -> None:
         finally:
             spark.stop()
 
+    # Each level runs in its OWN SUBPROCESS pinned to exactly `cores` CPUs
+    # (taskset affinity, inherited by the JVM and every python worker it
+    # forks). Spark task slots alone do NOT bound core usage for this
+    # workload: the python runner pipelines the JVM Arrow writer thread,
+    # the python worker process, and the reader concurrently, so an
+    # unpinned local[N] consumes ~2-3N physical cores — measured local[1]
+    # ran 6 iterations at 240M edges in 39 s, which one core cannot do.
+    # OS-enforced affinity is what makes "N cores vs 4N cores" true.
     results = {}
     levels = (SCALE_N, 4 * SCALE_N)
+    have_taskset = shutil.which("taskset") is not None
+    if not have_taskset:
+        print("WARNING: taskset unavailable; core budgets are task slots only", file=sys.stderr)
     for cores in levels:
-        parts = cores * 2
-        spark = make_spark(f"local[{cores}]", parts)
-        # AQE's per-exchange re-planning adds driver latency to every stage
-        # of the (statically partitioned, fixed-shape) iterative kernels;
-        # the general session default stays ON, the scaling measurement
-        # turns it off for both levels alike.
-        spark.conf.set("spark.sql.adaptive.enabled", "false")
-        try:
-            from web_search_pagerank_project_spark import (
-                build_csr_blocks,
-                connected_components_csr,
-                pagerank,
-                pagerank_csr,
-            )
-            from web_search_pagerank_project_spark.operators.components import (
-                build_minlabel_blocks,
-            )
-            from web_search_pagerank_project_spark.operators.graph_build import (
-                load_graph,
-            )
-
-            graph = load_graph(spark, stage_dir, num_partitions=parts)
-            # block count is FIXED across levels (identical work) and sized
-            # so each block's CSR arrays stay ~3M edges (~60 MB of Arrow)
-            blocks_k = max(16, SCALE_EDGES // 3_000_000)
-            blocks = build_csr_blocks(graph, blocks_k)
-            pagerank_csr(
-                graph, max_iterations=1, epsilon=0.0, blocks=blocks,
-            )  # warmup
-            # min-of-REPEATS: the host is a VM; single local[N] runs jitter
-            # by 2x run-to-run, and min is the standard noise-robust
-            # statistic for a fixed-work benchmark
-            pr_wall = float("inf")
-            for _ in range(SCALE_REPEATS):
-                t0 = time.monotonic()
-                res = pagerank_csr(
-                    graph, max_iterations=SCALE_ITERS, epsilon=1e-6,
-                    blocks=blocks, iters_per_action=SCALE_IPA,
-                )
-                pr_wall = min(pr_wall, time.monotonic() - t0)
-            # DataFrame kernel (semantic-primary path; heavier parallel work)
-            pagerank(graph, max_iterations=1, epsilon=0.0)  # warmup
-            prdf_wall = float("inf")
-            for _ in range(SCALE_REPEATS):
-                t0 = time.monotonic()
-                res_df = pagerank(graph, max_iterations=SCALE_ITERS, epsilon=1e-6)
-                prdf_wall = min(prdf_wall, time.monotonic() - t0)
-            # CC: fixed min-label rounds over pre-staged symmetric edges;
-            # the block build is untimed setup (same discipline as the
-            # PageRank blocks / the staged graph build)
-            sym = spark.read.parquet(f"{stage_dir}/sym_edges")
-            cc_blocks = build_minlabel_blocks(
-                graph, blocks_k, symmetric_edges=sym
-            )
-            connected_components_csr(
-                graph, max_rounds=1, blocks=cc_blocks, raise_on_cap=False
-            )  # warmup
-            cc_wall = float("inf")
-            for _ in range(SCALE_REPEATS):
-                t0 = time.monotonic()
-                connected_components_csr(
-                    graph,
-                    max_rounds=SCALE_CC_ROUNDS,
-                    blocks=cc_blocks,
-                    rounds_per_action=SCALE_CC_ROUNDS,
-                    raise_on_cap=False,
-                ).count()
-                cc_wall = min(cc_wall, time.monotonic() - t0)
-            results[cores] = {
-                "pr_wall": pr_wall,
-                "pr_iters": res.iterations,
-                "iters_per_hour": res.iterations / pr_wall * 3600,
-                "edges_per_sec": res.iterations * SCALE_EDGES / pr_wall,
-                "prdf_wall": prdf_wall,
-                "prdf_iters_per_hour": res_df.iterations / prdf_wall * 3600,
-                "cc_wall": cc_wall,
-            }
-            blocks.unpersist()
-            graph.unpersist()
-        finally:
-            spark.stop()
+        cmd = [sys.executable, os.path.abspath(__file__), "--scale-level", str(cores)]
+        if have_taskset:
+            cmd = ["taskset", "-c", f"0-{cores - 1}"] + cmd
+        proc = subprocess.run(cmd, capture_output=True, text=True)
+        line = [l for l in proc.stdout.splitlines() if l.startswith("{")]
+        if proc.returncode != 0 or not line:
+            sys.stderr.write(proc.stderr[-2000:])
+            raise RuntimeError(f"scale level {cores} failed")
+        results[cores] = json.loads(line[-1])
 
     lo, hi = levels
     eff = (results[lo]["pr_wall"] / results[hi]["pr_wall"]) / 4
@@ -334,8 +385,15 @@ def scaling_run() -> None:
 
 Sandbox protocol (BASELINE.md): no multi-node cluster exists here, so the
 north_rule's N -> 4N executor criterion is evidenced with the same job on
-the same deterministic input at two parallelism levels, local[{lo}] (N) and
-local[{hi}] (4N), sharing nothing but the machine.
+the same deterministic input at two CPU-AFFINITY-PINNED core budgets:
+each level runs in its own process under `taskset -c 0-(N-1)` with Spark
+master local[N], so the JVM's threads AND every forked python worker are
+bounded by exactly N (resp. 4N) physical cores. (Task slots alone do not
+bound cores for this workload: Spark's python runner pipelines the Arrow
+writer thread, the python worker process, and the reader concurrently, so
+an unpinned local[N] burns ~2-3N cores — unpinned local[1] "ran" 6x240M
+edge traversals in 39 s, which one core cannot do. Affinity is what makes
+the two levels honest.)
 
 Input: synthetic power-law web graph, seed=42, {SCALE_EDGES:,} edges /
 {SCALE_VERTS:,} vertices (zipf a=1.5 hubs). PageRank: both kernels,
@@ -380,6 +438,9 @@ iteration.
 
 
 def main() -> None:
+    if "--scale-level" in sys.argv:
+        scale_level_run(int(sys.argv[sys.argv.index("--scale-level") + 1]))
+        return
     if "--scaling" in sys.argv:
         scaling_run()
         return

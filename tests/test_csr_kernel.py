@@ -85,6 +85,26 @@ def test_csr_dangling_and_dup_edges(spark):
         assert np.isclose(scores[u], oracle[u], atol=1e-9), u
 
 
+def test_iteration_batching_parity_both_kernels(spark):
+    """iters_per_action fuses steps into one action but must not change
+    numerics: 9 iterations at batch 3 == 9 iterations one-by-one, for both
+    kernels, to float64 round-off."""
+    rows = SMALL_EDGES + [("1", "2"), ("9", "4"), ("z", "1")]
+    df = spark.createDataFrame(rows, "src string, dst string")
+    graph = build_graph(df, cache=True)
+    base = {r["id"]: r["rank"] for r in pagerank(graph, max_iterations=9).ranks.collect()}
+    for res in (
+        pagerank(graph, max_iterations=9, iters_per_action=3),
+        pagerank_csr(graph, max_iterations=9, num_blocks=4, iters_per_action=3),
+        pagerank_csr(graph, max_iterations=9, num_blocks=4, iters_per_action=4),
+    ):
+        got = {r["id"]: r["rank"] for r in res.ranks.collect()}
+        assert res.iterations == 9
+        for i in base:
+            assert np.isclose(base[i], got[i], atol=1e-12), i
+    graph.unpersist()
+
+
 def test_csr_random_graph_many_blocks(spark):
     rng = np.random.default_rng(7)
     rows = [

@@ -10,16 +10,18 @@ batches:
 
   block layout (static, built once, cached; K = num_blocks):
     edges are hash-partitioned by ``src_id % K`` into K blocks. Each block
-    row stores, for its local edge set:
+    row stores, for its local edge set, in DST-GROUPED segment order:
       src_pos   int32[nnz_b]   position of the edge's source in the block's
                                vertex array (dense ids => (src-block)//K)
+      weight    float64[nnz_b]
+      starts    int32[d_b]     segment boundary of each distinct dst's edge
+                               run (per-dst sum = one np.add.reduceat; no
+                               per-edge index array crosses Arrow)
       dst_pos   int32[d_b]     position of each distinct dst in its TARGET
                                block's vertex array ((dst-out_block)//K),
                                sorted by (out_block, dst) so contribution
                                slices bound for the same output block are
                                contiguous
-      dst_inv   int32[nnz_b]   index of each edge's dst into dst_pos
-      weight    float64[nnz_b]
       out_ptr   int32[K+1]     slice boundaries of dst_pos per output block
       k         int32          the block count the arrays were packed with
                                (validated against the kernel's K — a blocks
@@ -40,7 +42,7 @@ batches:
   one iteration = two cogroups, ZERO driver participation:
     1. SpMV:    cogroup(blocks, state) by block — blocks are CACHED already
                 hash-partitioned by block, so only the state side shuffles;
-                per block, contrib = bincount(dst_inv, w * x[src_pos]), cut
+                per block, contrib = reduceat(w * x[src_pos], starts), cut
                 into per-target-block slices (map-side combine: every
                 (block, dst) contribution leaves the task already summed)
     2. shuffle: K² *array* rows (block_out, dst_pos, contribs, dang_part) —
@@ -111,10 +113,14 @@ from .pagerank import IterationMetrics, PageRankResult
 _CSR_SCHEMA = StructType(
     [
         StructField("block", IntegerType()),
+        # per-edge arrays, GROUPED BY DESTINATION (segment layout): the
+        # per-dst sum is one np.add.reduceat over `starts` — no dst_inv
+        # index array crosses the Arrow boundary (4 bytes/edge saved, and
+        # the per-iteration volume is what the kernel pays for)
         StructField("src_pos", ArrayType(IntegerType())),
-        StructField("dst_pos", ArrayType(IntegerType())),
-        StructField("dst_inv", ArrayType(IntegerType())),
         StructField("weight", ArrayType(DoubleType())),
+        StructField("starts", ArrayType(IntegerType())),
+        StructField("dst_pos", ArrayType(IntegerType())),
         StructField("out_ptr", ArrayType(IntegerType())),
         StructField("k", IntegerType()),
     ]
@@ -169,18 +175,23 @@ def build_csr_blocks(graph: GraphTables, num_blocks: int) -> DataFrame:
         out_blocks = dst_sort % k
         out_ptr = np.searchsorted(out_blocks, np.arange(k + 1)).astype(np.int32)
         dst_pos = ((dst_sort - out_blocks) // k).astype(np.int32)
-        # inverse: edge dst -> index in dst_sort (via a value-sorted view)
+        # edge -> index in dst_sort (via a value-sorted view), then reorder
+        # the per-edge arrays into dst-grouped segments
         val_order = np.argsort(dst_sort, kind="stable")
         dst_valsorted = dst_sort[val_order]
         pos_in_valsorted = np.searchsorted(dst_valsorted, dst)
-        dst_inv = val_order[pos_in_valsorted].astype(np.int32)
+        dst_inv = val_order[pos_in_valsorted]
+        edge_order = np.argsort(dst_inv, kind="stable")
+        starts = np.searchsorted(
+            dst_inv[edge_order], np.arange(len(dst_sort))
+        ).astype(np.int32)
         return pd.DataFrame(
             {
                 "block": [block],
-                "src_pos": [src_pos],
+                "src_pos": [src_pos[edge_order]],
+                "weight": [w[edge_order]],
+                "starts": [starts],
                 "dst_pos": [dst_pos],
-                "dst_inv": [dst_inv],
-                "weight": [w],
                 "out_ptr": [out_ptr],
                 "k": [k],
             }
@@ -362,12 +373,14 @@ def pagerank_csr(
         if len(left):
             x = np.asarray(right["xs"].iloc[0], dtype=np.float64)
             src_pos = np.asarray(left["src_pos"].iloc[0], dtype=np.int32)
-            dst_inv = np.asarray(left["dst_inv"].iloc[0], dtype=np.int32)
             w = np.asarray(left["weight"].iloc[0], dtype=np.float64)
+            starts = np.asarray(left["starts"].iloc[0], dtype=np.int32)
             dst_pos = np.asarray(left["dst_pos"].iloc[0], dtype=np.int32)
             out_ptr = np.asarray(left["out_ptr"].iloc[0], dtype=np.int32)
-            contrib = np.bincount(
-                dst_inv, weights=w * x[src_pos], minlength=len(dst_pos)
+            contrib = (
+                np.add.reduceat(w * x[src_pos], starts)
+                if len(starts)
+                else np.empty(0, dtype=np.float64)
             )
             for ob in range(kk):
                 s, e = out_ptr[ob], out_ptr[ob + 1]

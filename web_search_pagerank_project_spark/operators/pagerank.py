@@ -90,6 +90,7 @@ def pagerank(
     checkpointer=None,
     checkpoint_every: int = 10,
     verbose: bool = False,
+    iters_per_action: int = 1,
 ) -> PageRankResult:
     """Run the power method on a built graph.
 
@@ -101,11 +102,19 @@ def pagerank(
        final) to break extreme hub keys across reducers.
     checkpointer: optional operators.checkpoint.IterationCheckpointer for
        durable per-iteration state + lineage (resume supported).
+    iters_per_action: fuse this many power steps into one Spark action.
+       Inner steps compute β JVM-side (1-row dangling aggregate broadcast
+       into the iterate) and skip the residual join entirely; numerics are
+       identical, but the ε-stop (and residual reporting) happens once per
+       batch — keep the default 1 when reference iteration-count parity
+       matters.
     """
     spark = graph.edges.sparkSession
     n = graph.n
     if n == 0:
         raise ValueError("empty graph")
+    if iters_per_action < 1:
+        raise ValueError("iters_per_action must be >= 1")
 
     edges = graph.edges  # (src_id, dst_id, weight) persisted, hashed by src_id
 
@@ -146,42 +155,60 @@ def pagerank(
         .collect()[0][0]
     )
 
-    for it in range(start_iter, max_iterations):
+    done = start_iter
+    while done < max_iterations and not converged:
         t0 = time.monotonic()
-
-        beta = alpha * dang_mass + (1.0 - alpha)
-
-        # contribs[t] = sum_s w(s,t) * x[s]  — P^T x
-        joined = edges.join(x, edges.src_id == x.id).select(
-            "dst_id", (F.col("weight") * F.col("x")).alias("wx")
-        )
-        if salt_partitions:
-            # salt derived from the *source* side so one hot dst_id fans out
-            # across `salt_partitions` partial-agg keys before the final agg
-            partial = joined.withColumn(
-                "_salt", F.pmod(F.spark_partition_id(), F.lit(salt_partitions))
-            ).groupBy("dst_id", "_salt").agg(F.sum("wx").alias("wx"))
-            contribs = partial.groupBy("dst_id").agg(F.sum("wx").alias("contrib"))
-        else:
-            contribs = joined.groupBy("dst_id").agg(F.sum("wx").alias("contrib"))
-
-        new_x = (
-            v_df.join(contribs, v_df.id == contribs.dst_id, "left")
-            .select(
-                v_df.id.alias("id"),
-                (
-                    F.lit(beta) * F.col("v")
-                    + F.lit(alpha) * F.coalesce(F.col("contrib"), F.lit(0.0))
-                ).alias("x"),
+        batch = min(iters_per_action, max_iterations - done)
+        xx = x
+        prev = x
+        for sub in range(batch):
+            # contribs[t] = sum_s w(s,t) * x[s]  — P^T x
+            joined = edges.join(xx, edges.src_id == xx.id).select(
+                "dst_id", (F.col("weight") * F.col("x")).alias("wx")
             )
-            .transform(cut_lineage)
-        )
+            if salt_partitions:
+                # salt derived from the *source* side so one hot dst_id fans
+                # out across `salt_partitions` partial-agg keys first
+                partial = joined.withColumn(
+                    "_salt", F.pmod(F.spark_partition_id(), F.lit(salt_partitions))
+                ).groupBy("dst_id", "_salt").agg(F.sum("wx").alias("wx"))
+                contribs = partial.groupBy("dst_id").agg(F.sum("wx").alias("contrib"))
+            else:
+                contribs = joined.groupBy("dst_id").agg(F.sum("wx").alias("contrib"))
 
-        # the one action: residual + next-beta dangling mass in one pass;
-        # materializes new_x's checkpoint too
+            if sub == 0:
+                # β from the dangling mass the previous action computed
+                base = v_df
+                beta_col = F.lit(alpha * dang_mass + (1.0 - alpha))
+            else:
+                # inner steps of a fused batch: β stays JVM-side — 1-row
+                # dangling-mass aggregate broadcast-crossed into the iterate
+                dm = xx.join(dangling, "id", "left_semi").agg(
+                    F.coalesce(F.sum("x"), F.lit(0.0)).alias("_dm")
+                )
+                base = v_df.crossJoin(F.broadcast(dm))
+                beta_col = F.lit(alpha) * F.col("_dm") + F.lit(1.0 - alpha)
+
+            prev = xx
+            xx = (
+                base.join(contribs, base["id"] == contribs["dst_id"], "left")
+                .select(
+                    base["id"].alias("id"),
+                    (
+                        beta_col * F.col("v")
+                        + F.lit(alpha) * F.coalesce(F.col("contrib"), F.lit(0.0))
+                    ).alias("x"),
+                )
+                .transform(cut_lineage)
+            )
+
+        # the one action per batch: residual (between the batch's last two
+        # iterates — reference stop semantics at batch granularity) + the
+        # next batch's dangling mass in one pass; materializes the
+        # checkpoints of every fused step too
         row = (
-            new_x.alias("new")
-            .join(x.alias("old"), "id")
+            xx.alias("new")
+            .join(prev.alias("old"), "id")
             .join(dangling.withColumn("_dang", F.lit(1)), "id", "left")
             .agg(
                 F.sqrt(
@@ -198,31 +225,32 @@ def pagerank(
             .collect()[0]
         )
         residual, dang_mass = float(row["r"]), float(row["dm"])
+        x = xx
+        done += batch
+        it = done - 1
 
         wall_ms = (time.monotonic() - t0) * 1000.0
         residuals.append(residual)
-        metrics.append(IterationMetrics(it, residual, wall_ms))
+        metrics.append(IterationMetrics(it, residual, wall_ms / batch))
         if verbose:
             print(f"i={it} residual={residual}")
 
-        x = new_x
         if checkpointer is not None and (
-            (it + 1) % checkpoint_every == 0 or residual < epsilon
+            done % checkpoint_every == 0 or residual < epsilon
         ):
             checkpointer.write(
                 x.withColumnRenamed("x", "rank"),
-                iteration=it + 1,
+                iteration=done,
                 meta={"residual": residual, "alpha": alpha, "wall_ms": wall_ms},
             )
 
         if residual < epsilon:
             converged = True
-            break
 
     ranks = x.withColumnRenamed("x", "rank")
     return PageRankResult(
         ranks=ranks,
-        iterations=(it + 1) - 0,
+        iterations=done,
         converged=converged,
         residuals=residuals,
         metrics=metrics,
