@@ -65,6 +65,20 @@ def exact_dup_groups(docs: DataFrame, id_col: str = "doc_id", text_col: str = "t
 _MERSENNE = (1 << 61) - 1
 
 
+def _widen(df: DataFrame) -> DataFrame:
+    """Repartition a signature-computation input when the source is too
+    coarsely partitioned (a small-SF parquet table is often ONE file =
+    one partition, serializing the whole vectorized UDF on one task).
+    Left untouched when the input already has enough partitions — at real
+    scale the table arrives with thousands and a repartition would only
+    add a shuffle."""
+    spark = df.sparkSession
+    target = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    if df.rdd.getNumPartitions() < max(2, target // 2):
+        return df.repartition(target)
+    return df
+
+
 def _minhash_params(num_hashes: int, seed: int = 42) -> tuple[np.ndarray, np.ndarray]:
     rng = np.random.default_rng(seed)
     a = rng.integers(1, _MERSENNE, size=num_hashes, dtype=np.int64)
@@ -93,20 +107,42 @@ def minhash_signatures(
             StructField("sig", ArrayType(LongType())),
         ]
     )
-    src = docs.select(
-        F.col(id_col).cast("long").alias("id"),
-        rolling_shingle_hashes(F.col(text_col), k=shingle_k).alias("sh"),
+    src = _widen(
+        docs.select(F.col(id_col).cast("long").alias("id"), F.col(text_col))
+    ).select(
+        "id", rolling_shingle_hashes(F.col(text_col), k=shingle_k).alias("sh")
     )
 
     def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         with np.errstate(over="ignore"):
             for pdf in it:
-                sigs = []
-                for sh in pdf["sh"]:
-                    shv = np.asarray(sh, dtype=np.int64)
-                    # (H, S) affine permutations mod Mersenne prime, min over S
-                    vals = (a[:, None] * shv[None, :] + b[:, None]) % _MERSENNE
-                    sigs.append(vals.min(axis=1))
+                if len(pdf) == 0:
+                    yield pd.DataFrame({"id": [], "sig": []})
+                    continue
+                # flatten a chunk of docs' shingle hashes into ONE matrix
+                # op: (H, total_shingles) affine permutations mod the
+                # Mersenne prime, then per-doc mins via minimum.reduceat at
+                # the doc boundaries — C speed across docs, no python loop
+                # proportional to batch size. Chunked so the work matrix
+                # stays ~a few hundred MB.
+                arrs = [np.asarray(sh, dtype=np.int64) for sh in pdf["sh"]]
+                sigs: list[np.ndarray] = []
+                i = 0
+                budget = 500_000  # shingles per matrix (x H x 8B working set)
+                while i < len(arrs):
+                    j, tot = i, 0
+                    while j < len(arrs) and (tot == 0 or tot + len(arrs[j]) <= budget):
+                        tot += len(arrs[j])
+                        j += 1
+                    chunk = arrs[i:j]
+                    lens = np.array([len(x) for x in chunk])
+                    flat = np.concatenate(chunk)
+                    starts = np.zeros(len(chunk), dtype=np.int64)
+                    np.cumsum(lens[:-1], out=starts[1:])
+                    vals = (a[:, None] * flat[None, :] + b[:, None]) % _MERSENNE
+                    mins = np.minimum.reduceat(vals, starts, axis=1)  # (H, docs)
+                    sigs.extend(list(mins.T))
+                    i = j
                 yield pd.DataFrame({"id": pdf["id"], "sig": sigs})
 
     return src.mapInPandas(gen, schema=schema)
@@ -221,10 +257,9 @@ def simhash_signatures(
     toks = F.split(
         F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " "), " "
     )
-    src = docs.select(
-        F.col(id_col).cast("long").alias("id"),
-        F.transform(toks, lambda t: F.xxhash64(t)).alias("th"),
-    )
+    src = _widen(
+        docs.select(F.col(id_col).cast("long").alias("id"), F.col(text_col))
+    ).select("id", F.transform(toks, lambda t: F.xxhash64(t)).alias("th"))
     schema = "id long, simhash long"
 
     def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
