@@ -88,6 +88,11 @@ def main() -> int:
             failures.append(name)
             print(f"FAIL  {name}: spark error: {e}")
             continue
+        finally:
+            # each query builds + caches its own graph/signature state;
+            # release it so a full 28-query sweep doesn't accrete pinned
+            # storage across queries (VERDICT r1 item 7)
+            spark.catalog.clearCache()
         if name not in oracles:
             print(f"rows  {name}: {len(srows)} rows (no oracle)")
             continue
