@@ -67,13 +67,21 @@ def drop_bad_urls(edges: DataFrame) -> DataFrame:
     )
 
 
-def assign_dense_ids(urls: DataFrame, id_col: str = "id", num_partitions: int | None = None) -> DataFrame:
+def assign_dense_ids(
+    urls: DataFrame,
+    id_col: str = "id",
+    num_partitions: int | None = None,
+    return_count: bool = False,
+):
     """Assign dense contiguous int64 ids to a distinct `url` column.
 
     Scalable dictionary encode: range-partition by url, number rows within
     each partition (cheap local sort), then add collected per-partition
     offsets. Only K tiny rows hit the driver; no global single-partition
     window. Resulting order is global lexicographic — deterministic.
+
+    return_count=True returns (df, n): the vertex count falls out of the
+    per-partition offsets for free, so callers skip a whole count() job.
     """
     spark = urls.sparkSession
     if num_partitions is None:
@@ -105,10 +113,13 @@ def assign_dense_ids(urls: DataFrame, id_col: str = "id", num_partitions: int | 
     offset_df = spark.createDataFrame(
         [(pid, off) for pid, off in offsets.items()], "_pid int, _off long"
     )
-    return (
+    out = (
         local.join(F.broadcast(offset_df), "_pid")
         .select((F.col("_off") + F.col("_rn")).cast("long").alias(id_col), "url")
     )
+    if return_count:
+        return out, acc
+    return out
 
 
 def build_graph(
@@ -140,10 +151,12 @@ def build_graph(
         .unionAll(clean.select(F.col("dst").alias("url")))
         .distinct()
     )
-    vertices = assign_dense_ids(urls, num_partitions=num_partitions)
+    # n comes out of the dictionary build's own offsets — no count() job
+    vertices, n = assign_dense_ids(
+        urls, num_partitions=num_partitions, return_count=True
+    )
     if cache:
         vertices = vertices.persist()
-    n = vertices.count()
 
     # encode both endpoints (two equi-joins; AQE broadcasts small dictionaries)
     e = (
