@@ -78,3 +78,49 @@ def test_first_seen_urls_stateful_dedup(spark, tmp_path):
     q.awaitTermination(120)
     got = sorted(r["url"] for r in spark.sql("select * from frontier_test").collect())
     assert got == ["u2", "u3"]  # u3 and u2 each seen once despite repeats
+
+
+def test_first_seen_urls_ttl_path(spark, tmp_path):
+    """TTL variant: per-entry timestamped state must still dedup exactly
+    when nothing has expired (large TTL), exercising the (seen, seen_ts)
+    state layout end to end."""
+    from web_search_pagerank_project_spark.streaming.ingest import (
+        stream_edges_from_csv,
+    )
+    from web_search_pagerank_project_spark.streaming.stateful import first_seen_urls
+
+    land = tmp_path / "land2"
+    land.mkdir()
+    (land / "a.csv").write_text(
+        "source,target,ts\n"
+        "u1,u2,2024-01-01T00:00:00\n"
+        "u2,u3,2024-01-01T00:00:01\n"
+        "u3,u2,2024-01-01T00:00:02\n"
+    )
+    edges = stream_edges_from_csv(spark, str(land))
+    frontier = first_seen_urls(
+        edges.select(F.col("dst").alias("url")), num_shards=4, ttl_minutes=60
+    )
+    q = (
+        frontier.writeStream.format("memory")
+        .queryName("frontier_ttl_test")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        r["url"] for r in spark.sql("select * from frontier_ttl_test").collect()
+    )
+    assert got == ["u2", "u3"]
+
+
+def test_prune_expired_per_entry():
+    """ADVICE r1: expiry is per entry, not per shard — a fresh entry
+    survives the same prune that drops a stale one."""
+    from web_search_pagerank_project_spark.streaming.stateful import _prune_expired
+
+    kept = _prune_expired([1, 2, 3], [100, 200, 300], cutoff_ms=200)
+    assert kept == {2: 200, 3: 300}
+    assert _prune_expired([], [], cutoff_ms=0) == {}

@@ -13,14 +13,22 @@ small and the shuffle key is uniform even when one host dominates the
 crawl. A 64-bit hash collision (~2^-64 per pair) wrongly suppresses a url;
 acceptable for frontier dedup (the batch dictionary remains exact).
 
-Timeout semantics: state never expires by default (a frontier is
-monotone); pass ``ttl_minutes`` to forget shards idle longer than the TTL
-(processing-time timeout) for bounded-state deployments where re-crawl of
-long-unseen urls is acceptable.
+TTL semantics (round 2, per ADVICE r1): state never expires by default (a
+frontier is monotone). With ``ttl_minutes`` set, expiry is PER ENTRY — each
+url-hash carries its last-seen processing time and is pruned individually
+once idle longer than the TTL, so state is bounded by the stream's
+TTL-window cardinality and there is no all-at-once cliff where a briefly
+idle shard forgets (and re-emits) every url it ever saw. Every sighting
+refreshes the entry (sliding TTL), matching "re-crawl urls unseen for T".
+The shard-level processing-time timeout is kept purely as garbage
+collection for fully idle shards — by the time it fires, every entry in
+the shard is older than the TTL, so dropping the whole shard state equals
+per-entry semantics exactly.
 """
 
 from __future__ import annotations
 
+import time
 from collections.abc import Iterator
 
 import pandas as pd
@@ -37,7 +45,18 @@ from pyspark.sql.types import (
 )
 
 _OUT_SCHEMA = StructType([StructField("url", StringType())])
-_STATE_SCHEMA = StructType([StructField("seen", ArrayType(LongType()))])
+_STATE_SCHEMA = StructType(
+    [
+        StructField("seen", ArrayType(LongType())),
+        StructField("seen_ts", ArrayType(LongType())),  # ms, per entry
+    ]
+)
+
+
+def _prune_expired(hs, ts, cutoff_ms: int) -> dict[int, int]:
+    """Per-entry TTL prune: keep entries last seen at/after the cutoff.
+    Module-level so the expiry rule is unit-testable without a stream."""
+    return {h: t for h, t in zip(hs, ts) if t >= cutoff_ms}
 
 
 def first_seen_urls(
@@ -47,9 +66,10 @@ def first_seen_urls(
 ) -> DataFrame:
     """Streaming first-seen filter over a (url: string) stream.
 
-    Returns a stream of urls never seen before within their shard's state.
-    Use on ``stream_edges_from_csv(...).select(col("dst").alias("url"))``
-    to produce the crawl frontier.
+    Returns a stream of urls never seen before within their shard's state
+    (never seen within ``ttl_minutes``, when set). Use on
+    ``stream_edges_from_csv(...).select(col("dst").alias("url"))`` to
+    produce the crawl frontier.
     """
     timeout = (
         GroupStateTimeout.ProcessingTimeTimeout
@@ -62,19 +82,28 @@ def first_seen_urls(
         key, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
         if state.hasTimedOut:
+            # fires only after the shard has been idle for a full TTL, so
+            # every entry is expired under per-entry semantics too
             state.remove()
             # explicit string dtype: an empty default-dtype frame would rely
             # on Arrow coercing float64 -> string (ADVICE r1)
             yield pd.DataFrame({"url": pd.Series([], dtype="object")})
             return
-        seen = set(state.get[0]) if state.exists else set()
+        now_ms = int(time.time() * 1000)
+        seen: dict[int, int] = {}
+        if state.exists:
+            hs, ts = state.get
+            if ttl_minutes is not None:
+                seen = _prune_expired(hs, ts, now_ms - ttl_ms)
+            else:
+                seen = dict(zip(hs, ts))
         out: list[str] = []
         for pdf in pdfs:
             for url, h in zip(pdf["url"], pdf["h"]):
                 if h not in seen:
-                    seen.add(h)
                     out.append(url)
-        state.update((list(seen),))
+                seen[h] = now_ms  # refresh on every sighting (sliding TTL)
+        state.update((list(seen.keys()), list(seen.values())))
         if ttl_minutes is not None:
             state.setTimeoutDuration(ttl_ms)
         yield pd.DataFrame({"url": out})
