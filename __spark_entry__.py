@@ -606,11 +606,14 @@ def q_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash pigeonhole candidates (hamming <= 16, EXACT recall for that
+    """SimHash pigeonhole candidates (hamming <= 7, EXACT recall for that
     radius by construction) -> exact 3-gram-Jaccard verification >= 0.8.
     Oracle-checkable like q_minhash_near_dups: the corpus' true near-dup
     pairs all sit at hamming <= 5, so the verified output equals the
-    all-pairs ground truth while exercising the simhash path end-to-end."""
+    all-pairs ground truth while exercising the simhash path end-to-end.
+    Radius 7 gives 8 pigeonhole blocks of 8 bits each (ADVICE r2: radius 16
+    meant 17 blocks of 3 bits = 8 distinct keys per block, degenerating the
+    candidate self-join toward all-pairs and leaving 13 bits unindexed)."""
     from web_search_pagerank_project_spark.operators.dedup import (
         ngram_jaccard_pairs,
         simhash_near_dups,
@@ -619,7 +622,7 @@ def q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _docs(spark, sf_dir)
     sigs = simhash_signatures(docs)
-    cands = simhash_near_dups(sigs, max_hamming=16).select("id_a", "id_b")
+    cands = simhash_near_dups(sigs, max_hamming=7).select("id_a", "id_b")
     return (
         ngram_jaccard_pairs(docs, cands, n=3)
         .filter(F.col("jaccard") >= 0.8)
@@ -639,7 +642,11 @@ def q_lsh_pairs_above(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    pairs = all_pairs_above(emb, threshold=0.4, bands=48, planes_per_band=3)
+    # dim=64 (TESTDATA.md embeddings shape at every sf) keeps plan
+    # construction action-free — no probe job
+    pairs = all_pairs_above(
+        emb, threshold=0.4, bands=48, planes_per_band=3, dim=64
+    )
     return pairs.select(
         "id_a", "id_b", F.round("cosine", 6).alias("cosine")
     ).orderBy("id_a", "id_b")

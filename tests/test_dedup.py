@@ -88,3 +88,31 @@ def test_ngram_jaccard(spark, docs):
     assert np.isclose(got[(0, 1)], 1.0)
     assert 0.5 < got[(0, 2)] < 1.0
     assert got[(0, 3)] < 0.05
+
+
+def test_null_and_empty_text_survive(spark, docs):
+    """ADVICE r2 (medium): a dirty corpus row with NULL text must not crash
+    any signature path — it degrades to the empty-string signature."""
+    dirty = docs.unionAll(
+        spark.createDataFrame([(6, None), (7, ""), (8, "   ")],
+                              "doc_id long, text string")
+    )
+    # simhash: the path that crashed (np.asarray(None) TypeError)
+    sh = {r["id"]: r["simhash"] for r in simhash_signatures(dirty).collect()}
+    assert len(sh) == 9
+    assert sh[6] == sh[7] == sh[8]  # null == empty == whitespace-only
+    # minhash: null shingle array would crash the reduceat path identically
+    ms = {r["id"]: r["sig"] for r in minhash_signatures(dirty).collect()}
+    assert len(ms) == 9 and ms[6] == ms[7] == ms[8]
+    # ngram jaccard: null vs empty counts as identical (jaccard of the
+    # degenerate single empty shingle)
+    cands = spark.createDataFrame([(6, 7), (0, 6)], "id_a long, id_b long")
+    nj = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(dirty, cands, n=3).collect()
+    }
+    assert nj[(6, 7)] == 1.0 and nj[(0, 6)] == 0.0
+    # exact dedup: null/empty/whitespace fingerprint-group together
+    groups = exact_dup_groups(dirty).collect()
+    sizes = sorted(g["n_dups"] for g in groups)
+    assert sizes == [3, 3]  # {0,1,4} and {6,7,8}

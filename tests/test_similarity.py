@@ -69,10 +69,11 @@ def test_all_pairs_above_finds_planted_cluster(spark, embeddings):
 def test_real_embedding_dim_768(spark):
     """VERDICT r1 item 4: at dim=768 the old literal-unrolled signature plan
     exploded (dim x planes x bands Catalyst nodes). The pandas_udf matmul
-    path must analyze + run in seconds and still find the planted cluster
-    and agree with brute force on the top hit."""
-    import time
-
+    path must keep the analyzed plan O(operators), not O(dim*planes*bands),
+    and still find the planted cluster and agree with brute force on the
+    top hit. Plan-size is asserted directly on the analyzed-plan string
+    (ADVICE r2: the old <60s wall-clock assert flaked on loaded hosts while
+    guarding an analysis-time failure mode)."""
     dim, n = 768, 400
     rng = np.random.default_rng(7)
     base = rng.standard_normal((n, dim))
@@ -81,14 +82,27 @@ def test_real_embedding_dim_768(spark):
     rows = [(i, [float(x) for x in base[i]]) for i in range(n)]
     df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
 
-    t0 = time.monotonic()
-    pairs = all_pairs_above(df, threshold=0.995, bands=8, planes_per_band=10)
+    # plan construction must launch NO job when dim is supplied
+    # (VERDICT r2 item 7: the .first() dim probe was an eager action inside
+    # a lazy plan builder)
+    sc = spark.sparkContext
+    sc.setJobGroup("plan-construction", "must be action-free")
+    pairs = all_pairs_above(
+        df, threshold=0.995, bands=8, planes_per_band=10, dim=dim
+    )
+    probe_jobs = sc.statusTracker().getJobIdsForGroup("plan-construction")
+    sc.setLocalProperty("spark.jobGroup.id", None)
+    assert probe_jobs == [], f"plan construction ran jobs: {probe_jobs}"
+
+    # plan-size regression: the literal-unrolled version put ~25k nodes
+    # (dim*planes*bands literals) into the analyzed plan; the pandas_udf
+    # path is a handful of operators whose string stays small at any dim
+    plan_str = pairs._jdf.queryExecution().analyzed().toString()
+    assert len(plan_str) < 50_000, f"analyzed plan blew up: {len(plan_str)} chars"
+
     found = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
     assert {(3, 50), (3, 51), (3, 52)} <= found
     q = [float(x) for x in base[3]]
     approx = [r["id"] for r in lsh_topk(df, q, k=4, bands=8, planes_per_band=10).collect()]
     assert approx[0] == 3
     assert {50, 51, 52} & set(approx)
-    # plan-size regression: the whole thing (2 jobs, dim=768) in seconds,
-    # not the minutes the literal-unrolled plan took to even analyze
-    assert time.monotonic() - t0 < 60

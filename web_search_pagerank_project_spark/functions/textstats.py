@@ -99,7 +99,9 @@ def fingerprint(col: Column | str) -> Column:
     """64-bit document fingerprint over normalized text (xxhash64 of the
     whitespace-collapsed, lowercased body) — exact-dup key at scale."""
     c = F.col(col) if isinstance(col, str) else col
-    normalized = F.regexp_replace(F.lower(F.trim(c)), r"\s+", " ")
+    # NULL text folds to '' so a dirty corpus row groups deterministically
+    # instead of propagating a null key
+    normalized = F.regexp_replace(F.lower(F.trim(F.coalesce(c, F.lit("")))), r"\s+", " ")
     return F.xxhash64(normalized)
 
 
@@ -107,7 +109,11 @@ def rolling_shingle_hashes(col: Column | str, k: int = 5) -> Column:
     """Array of xxhash64 values over k-word shingles (document fingerprinting
     / minhash substrate). Built-ins only: split -> transform windows -> hash."""
     c = F.col(col) if isinstance(col, str) else col
-    toks = F.split(F.regexp_replace(F.lower(F.trim(c)), r"\s+", " "), " ")
+    # NULL-safe: split/transform over a null string yields a null array,
+    # which would crash the downstream numpy consumers (minhash signatures)
+    toks = F.split(
+        F.regexp_replace(F.lower(F.trim(F.coalesce(c, F.lit("")))), r"\s+", " "), " "
+    )
     n = F.size(toks)
     idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
     return F.when(n < k, F.array(F.xxhash64(F.concat_ws(" ", toks)))).otherwise(

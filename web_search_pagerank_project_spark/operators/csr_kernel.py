@@ -129,6 +129,10 @@ _CSR_SCHEMA = StructType(
 _PARTIAL_SCHEMA = StructType(
     [
         StructField("block_out", IntegerType()),
+        # source block id: the merge sorts partials by it before summing,
+        # making the float64 contribution sum independent of shuffle
+        # arrival order (run-to-run bit determinism)
+        StructField("block_src", IntegerType()),
         StructField("dst_pos", ArrayType(IntegerType())),
         StructField("contribs", ArrayType(DoubleType())),
         # the source block's dangling mass Σ x[dangling-in-block]: every
@@ -361,6 +365,7 @@ def pagerank_csr(
         if len(right) == 0:
             return pd.DataFrame(
                 {"block_out": pd.Series([], dtype="int32"),
+                 "block_src": pd.Series([], dtype="int32"),
                  "dst_pos": pd.Series([], dtype=object),
                  "contribs": pd.Series([], dtype=object),
                  "dang_part": pd.Series([], dtype="float64")}
@@ -390,6 +395,7 @@ def pagerank_csr(
         return pd.DataFrame(
             {
                 "block_out": pd.Series(range(kk), dtype="int32"),
+                "block_src": pd.Series([int(key[0])] * kk, dtype="int32"),
                 "dst_pos": out_pos,
                 "contribs": out_contribs,
                 "dang_part": pd.Series([dang_part] * kk, dtype="float64"),
@@ -412,17 +418,21 @@ def pagerank_csr(
             )
         x_old = np.asarray(left["xs"].iloc[0], dtype=np.float64)
         dang_idx = np.asarray(left["dang_idx"].iloc[0], dtype=np.int32)
-        # β from the per-source-block dangling scalars that rode the
-        # partials shuffle (sorted before summing for run-to-run float64
-        # determinism regardless of shuffle arrival order)
-        dang_total = float(np.sort(right["dang_part"].to_numpy(np.float64)).sum())
+        # run-to-run float64 bit determinism: order every partial by its
+        # source block id before summing, so neither β nor the bincount
+        # contribution sum depends on shuffle arrival order (ADVICE r2:
+        # previously only dang_part was order-insensitive)
+        order = np.argsort(right["block_src"].to_numpy(np.int32), kind="stable")
+        dang_total = float(right["dang_part"].to_numpy(np.float64)[order].sum())
         beta = a * dang_total + (1.0 - a)
         if len(right):
+            dst_list = right["dst_pos"].to_numpy()
+            cs_list = right["contribs"].to_numpy()
             pos_all = np.concatenate(
-                [np.asarray(p, dtype=np.int32) for p in right["dst_pos"]]
+                [np.asarray(dst_list[o], dtype=np.int32) for o in order]
             )
             cs_all = np.concatenate(
-                [np.asarray(c, dtype=np.float64) for c in right["contribs"]]
+                [np.asarray(cs_list[o], dtype=np.float64) for o in order]
             )
             contrib = np.bincount(
                 pos_all, weights=cs_all, minlength=len(x_old)

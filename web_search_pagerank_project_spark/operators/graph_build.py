@@ -93,11 +93,14 @@ def assign_dense_ids(
     # re-computed the exchange with a fresh sample, ids would collide/skip
     # (observed as corrupt ids at 1M urls / 16 partitions). localCheckpoint
     # pins ONE materialization for both the counts and the join; a lost
-    # block fails loudly instead of silently mis-assigning ids.
+    # block fails loudly instead of silently mis-assigning ids. Lazy: the
+    # counts job below is the first action, so IT materializes the
+    # checkpoint — one job instead of an eager-checkpoint job + a counts
+    # job (round-3 build-latency cut; blocks exist before any consumer).
     parts = (
         urls.repartitionByRange(num_partitions, "url")
         .withColumn("_pid", F.spark_partition_id())
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     w = Window.partitionBy("_pid").orderBy("url")
     local = parts.withColumn("_rn", F.row_number().over(w) - F.lit(1))

@@ -175,13 +175,19 @@ def all_pairs_above(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs (id_a < id_b, cosine >= threshold)
     via LSH candidate generation + exact verification. The banded self-join
     moves only (band, bucket, id); embeddings are re-joined per candidate
-    pair after cross-band dedup."""
-    first = embeddings.select(vec_col).first()
-    dim = len(first[0])
+    pair after cross-band dedup.
+
+    Pass ``dim`` to keep plan construction action-free (VERDICT r2 item 7);
+    when omitted, a one-row probe job runs eagerly to sniff it — fine
+    interactively, wrong inside a lazy pipeline builder."""
+    if dim is None:
+        first = embeddings.select(vec_col).first()
+        dim = len(first[0])
     keys = add_lsh_buckets(
         embeddings, dim, bands, planes_per_band, seed, vec_col
     ).select("band", "bucket", F.col(id_col).alias("id"))
