@@ -133,6 +133,58 @@ def test_word2vec_loader_most_similar(tmp_path):
     assert wv.most_similar("notaword") == []
 
 
+def _write_w2v_binary(path, vecs: dict[str, list[float]], newline=True):
+    import struct
+
+    dim = len(next(iter(vecs.values())))
+    with open(path, "wb") as f:
+        f.write(f"{len(vecs)} {dim}\n".encode())
+        for w, v in vecs.items():
+            f.write(w.encode() + b" ")
+            f.write(struct.pack(f"<{dim}f", *v))
+            if newline:  # the C tool writes one, gensim does not
+                f.write(b"\n")
+
+
+def test_word2vec_binary_loader_matches_text(tmp_path):
+    """The C-binary reader yields the same model as the text reader (float32
+    round-trip tolerance), with and without inter-entry newlines, and
+    WordVectors.load auto-detects both formats."""
+    from web_search_pagerank_project_spark.functions.synonyms import WordVectors
+
+    vecs = {
+        "corona": [1.0, 0.0, 0.0],
+        "covid": [0.9, 0.1, 0.0],
+        "speech": [0.0, 1.0, 0.0],
+        "banana": [0.0, 0.0, 1.0],
+    }
+    pt = str(tmp_path / "vecs.txt")
+    _write_w2v(pt, vecs)
+    for newline in (True, False):
+        pb = str(tmp_path / f"vecs_{newline}.bin")
+        _write_w2v_binary(pb, vecs, newline=newline)
+        wv = WordVectors.load_word2vec_binary(pb)
+        ref = WordVectors.load_word2vec_text(pt)
+        for term in vecs:
+            got, want = wv.most_similar(term, 3), ref.most_similar(term, 3)
+            assert [w for w, _ in got] == [w for w, _ in want]
+            assert all(
+                abs(a - b) < 1e-6 for (_, a), (_, b) in zip(got, want)
+            )
+    # auto-detect: same file contents through the format-sniffing entrypoint
+    assert WordVectors.load(pb).most_similar("corona", 1)[0][0] == "covid"
+    assert WordVectors.load(pt).most_similar("corona", 1)[0][0] == "covid"
+    # truncated binary fails loudly, not silently
+    import pytest
+
+    raw = open(pb, "rb").read()
+    ptrunc = str(tmp_path / "trunc.bin")
+    with open(ptrunc, "wb") as f:
+        f.write(raw[:-7])
+    with pytest.raises(ValueError):
+        WordVectors.load_word2vec_binary(ptrunc)
+
+
 def test_pipeline_synonyms_file_end_to_end(spark, tmp_path):
     """O20 end-to-end: --synonyms_file drives ws_pagerank.py:209-225's
     formula (top-5 most_similar, sim**50 re-scoring, widened predicate)

@@ -1,12 +1,14 @@
-"""Synonym expansion from a local word2vec-text-format vector file (O20).
+"""Synonym expansion from a local word2vec-format vector file (O20).
 
 The reference loads a 750 MB gensim GloVe model over the network at import
 time (ws_pagerank.py:15-17) and calls ``vector.most_similar(term, topn=5)``
 for query expansion (ws_pagerank.py:216-225, :255-263). This module closes
-that gap WITHOUT network or gensim: it reads the standard word2vec text
-format (first line ``<count> <dim>``, then ``word v1 .. vdim`` per line —
-the format ``gensim.models.KeyedVectors.save_word2vec_format(binary=False)``
-writes), and reproduces gensim's ``most_similar`` semantics:
+that gap WITHOUT network or gensim: it reads BOTH standard word2vec
+formats — text (first line ``<count> <dim>``, then ``word v1 .. vdim`` per
+line; what ``gensim.models.KeyedVectors.save_word2vec_format(binary=False)``
+writes) and the original C binary format (``binary=True`` / what
+``gensim.downloader`` ships), auto-detected by ``WordVectors.load`` — and
+reproduces gensim's ``most_similar`` semantics:
 
   * vectors are L2-normalized once at load
   * similarity = cosine
@@ -68,6 +70,71 @@ class WordVectors:
         if not rows:
             raise ValueError(f"{path}: no vectors")
         return cls(words, np.vstack(rows))
+
+    @classmethod
+    def load_word2vec_binary(cls, path: str) -> "WordVectors":
+        """Read the original word2vec C binary format (what
+        ``gensim.models.KeyedVectors.save_word2vec_format(binary=True)``
+        writes and ``gensim.downloader`` ships): an ASCII header line
+        ``<count> <dim>\\n``, then per entry the word's bytes terminated by
+        a single space followed by ``dim`` little-endian float32 values;
+        entries may be separated by ``\\n`` (the C tool writes one, gensim
+        does not) — leading newlines before a word are skipped, matching
+        gensim's reader. Optionally gzipped."""
+        opener = gzip.open if path.endswith(".gz") else open
+        with opener(path, "rb") as f:
+            header = f.readline().split()
+            if len(header) != 2:
+                raise ValueError(
+                    f"{path}: expected word2vec binary header "
+                    f"'<count> <dim>', got {header!r}"
+                )
+            count, dim = int(header[0]), int(header[1])
+            row_bytes = 4 * dim
+            words: list[str] = []
+            rows: list[np.ndarray] = []
+            for _ in range(count):
+                wchars = bytearray()
+                while True:
+                    ch = f.read(1)
+                    if ch == b"":
+                        if wchars:
+                            raise ValueError(
+                                f"{path}: truncated word at entry {len(words)}"
+                            )
+                        break
+                    if ch == b" ":
+                        break
+                    if ch == b"\n" and not wchars:
+                        continue  # inter-entry newline
+                    wchars.extend(ch)
+                if not wchars:
+                    break
+                buf = f.read(row_bytes)
+                if len(buf) != row_bytes:
+                    raise ValueError(
+                        f"{path}: truncated vector for "
+                        f"{wchars.decode('utf-8', 'replace')!r}"
+                    )
+                words.append(wchars.decode("utf-8", "replace"))
+                rows.append(
+                    np.frombuffer(buf, dtype="<f4").astype(np.float64)
+                )
+        if not rows:
+            raise ValueError(f"{path}: no vectors")
+        return cls(words, np.vstack(rows))
+
+    @classmethod
+    def load(cls, path: str) -> "WordVectors":
+        """Auto-detect text vs binary word2vec format: both start with the
+        same ASCII ``<count> <dim>`` header, so try the (strictly
+        validated) text reader first and fall back to binary — a binary
+        body read as text cannot produce ``dim + 1`` space-separated
+        fields per line, so misdetection fails loudly, never silently."""
+        try:
+            return cls.load_word2vec_text(path)
+        except (ValueError, UnicodeDecodeError):
+            return cls.load_word2vec_binary(path)
 
     def __contains__(self, word: str) -> bool:
         return word in self._index

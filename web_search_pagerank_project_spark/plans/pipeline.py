@@ -127,9 +127,7 @@ def run_pipeline(
         from ..functions.synonyms import WordVectors, synonyms_for_query
 
         pos, _ = _split_terms(search_query)
-        synonyms = synonyms_for_query(
-            WordVectors.load_word2vec_text(synonyms_file), pos
-        )
+        synonyms = synonyms_for_query(WordVectors.load(synonyms_file), pos)
     out = search(
         graph, result, query=search_query, max_results=max_results,
         synonyms=synonyms,
