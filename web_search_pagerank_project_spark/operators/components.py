@@ -80,16 +80,26 @@ def connected_components(
     num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     sym = _symmetrized(graph, num_partitions)
 
-    labels = graph.vertices.select(
-        "id", F.col("id").alias("label")
-    ).transform(cut_lineage)
+    # labels stay hash(id, P)-partitioned across rounds (plain localCheckpoint
+    # preserves outputPartitioning; the round plan's Aggregate clamps the
+    # inherited-stats squaring, see lineage.py). SHUFFLE_HASH hints keep the
+    # O(V) label table off the driver: a broadcast hash-relation of the
+    # labels is built serially on the driver and grows with V — the same
+    # scale bug fixed in pagerank.py (weak-scaled 0.54 before the hint).
+    labels = (
+        graph.vertices.select("id", F.col("id").alias("label"))
+        .repartition(num_partitions, "id")
+        .localCheckpoint(eager=False)
+    )
 
     converged = False
     for it in range(max_iterations):
+        lh = labels.hint("shuffle_hash")
         nbr_min = (
-            sym.join(labels, sym.src_id == labels.id)
+            sym.join(lh, sym.src_id == lh.id)
             .groupBy("dst_id")
             .agg(F.min("label").alias("nbr_label"))
+            .hint("shuffle_hash")
         )
         new_labels = (
             labels.join(nbr_min, labels.id == nbr_min.dst_id, "left")
@@ -100,7 +110,7 @@ def connected_components(
                 ).alias("label"),
                 (F.col("nbr_label") < F.col("label")).alias("_changed"),
             )
-            .transform(cut_lineage)
+            .localCheckpoint(eager=False)
         )
         changed = (
             new_labels.agg(

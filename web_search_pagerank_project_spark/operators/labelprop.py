@@ -21,7 +21,6 @@ from pyspark.sql import functions as F
 
 from .components import _symmetrized
 from .graph_build import GraphTables
-from .lineage import cut_lineage
 
 
 def label_propagation(
@@ -34,13 +33,20 @@ def label_propagation(
     num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     sym = _symmetrized(graph, num_partitions)
 
-    labels = graph.vertices.select(
-        "id", F.col("id").alias("label")
-    ).transform(cut_lineage)
+    # same iterative-join discipline as pagerank.py / components.py: labels
+    # pinned to hash(id, P) via partitioning-preserving localCheckpoint (the
+    # Aggregate in each round clamps inherited stats), SHUFFLE_HASH hints so
+    # the O(V) label state is never driver-broadcast
+    labels = (
+        graph.vertices.select("id", F.col("id").alias("label"))
+        .repartition(num_partitions, "id")
+        .localCheckpoint(eager=False)
+    )
 
     for it in range(max_iterations):
+        lh = labels.hint("shuffle_hash")
         freq = (
-            sym.join(labels, sym.src_id == labels.id)
+            sym.join(lh, sym.src_id == lh.id)
             .groupBy("dst_id", "label")
             .agg(F.count("*").alias("cnt"))
         )
@@ -49,6 +55,7 @@ def label_propagation(
             freq.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") == 1)
             .select(F.col("dst_id"), F.col("label").alias("new_label"))
+            .hint("shuffle_hash")
         )
         new_labels = (
             labels.join(winner, labels.id == winner.dst_id, "left")
@@ -57,7 +64,7 @@ def label_propagation(
                 F.coalesce(F.col("new_label"), F.col("label")).alias("label"),
                 (F.coalesce(F.col("new_label"), F.col("label")) != F.col("label")).alias("_changed"),
             )
-            .transform(cut_lineage)
+            .localCheckpoint(eager=False)
         )
         changed = (
             new_labels.agg(

@@ -19,6 +19,15 @@ Execution design (SURVEY.md §4.3) — one Spark action per iteration:
   * The static weighted edge table is persisted pre-partitioned by ``src_id``
     (graph_build), so each iteration's SpMV join re-shuffles only the rank
     vector, never the edges.
+  * Every per-iteration join carries a SHUFFLE_HASH hint: the rank side is
+    O(V) and comfortably hash-buildable per partition, but it must NOT be
+    broadcast — a broadcast hash-relation of the iterate is built serially
+    on the driver and its cost grows with V while adding executors adds
+    nothing (measured: the pre-hint plan broadcast 500k-2M row iterates per
+    iteration under AQE and weak-scaled at 0.54; at web scale, V ~ 10^10
+    rows cannot be broadcast at all). SHJ streams the pre-partitioned edges
+    with zero movement and shuffles only O(V) rank rows across all cores;
+    it also skips the per-iteration sorts a sort-merge join would pay.
   * ``beta`` (dangling mass) is folded into the same plan as the new iterate
     via a broadcast scalar-aggregate cross join — no separate driver round
     trip for it.
@@ -45,7 +54,6 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .graph_build import GraphTables, dangling_vertices
-from .lineage import cut_lineage
 
 
 @dataclass
@@ -118,15 +126,29 @@ def pagerank(
 
     edges = graph.edges  # (src_id, dst_id, weight) persisted, hashed by src_id
 
+    # All per-iteration tables live in ONE hash(id, P) partitioning (P = the
+    # edge table's contract partition count): plain localCheckpoint (unlike
+    # cut_lineage) carries outputPartitioning into the LogicalRDD, so the
+    # statics below and the iterate stay co-partitioned across iterations
+    # and EnsureRequirements inserts no exchange for the v/dangling/residual
+    # joins — the only per-step shuffle left is the contribution aggregate.
+    # The DF loop can safely keep plain localCheckpoint stats: its plans
+    # have Aggregate barriers, which clamp the inherited-sizeInBytes
+    # squaring that forces the CSR kernel to cut_lineage (lineage.py doc).
+    parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+
+    def _pin(df: DataFrame) -> DataFrame:
+        return df.repartition(parts, "id").localCheckpoint(eager=False)
+
     if v is None:
         v_df = graph.vertices.select(
             "id", F.lit(1.0 / n).cast("double").alias("v")
         )
     else:
         v_df = v.select("id", F.col("v").cast("double"))
-    v_df = _l2_normalize(v_df, "v").transform(cut_lineage)
+    v_df = _pin(_l2_normalize(v_df, "v"))
 
-    dangling = dangling_vertices(graph).transform(cut_lineage)
+    dangling = _pin(dangling_vertices(graph))
 
     start_iter = 0
     x = None
@@ -134,11 +156,13 @@ def pagerank(
         resumed = checkpointer.resume(spark)
         if resumed is not None:
             x, start_iter = resumed
-            x = x.transform(cut_lineage)
+            x = _pin(x)
     if x is None:
-        x = graph.vertices.select(
-            "id", F.lit(1.0 / math.sqrt(n)).cast("double").alias("x")
-        ).transform(cut_lineage)
+        x = _pin(
+            graph.vertices.select(
+                "id", F.lit(1.0 / math.sqrt(n)).cast("double").alias("x")
+            )
+        )
 
     residuals: list[float] = []
     metrics: list[IterationMetrics] = []
@@ -150,7 +174,7 @@ def pagerank(
     # action computes both the residual and sum(x_{t+1} over dangling) for
     # the next beta (the CSR kernel uses the same trick)
     dang_mass = float(
-        x.join(dangling, "id", "left_semi")
+        x.join(dangling.hint("shuffle_hash"), "id", "left_semi")
         .agg(F.coalesce(F.sum("x"), F.lit(0.0)))
         .collect()[0][0]
     )
@@ -162,8 +186,12 @@ def pagerank(
         xx = x
         prev = x
         for sub in range(batch):
-            # contribs[t] = sum_s w(s,t) * x[s]  — P^T x
-            joined = edges.join(xx, edges.src_id == xx.id).select(
+            # contribs[t] = sum_s w(s,t) * x[s]  — P^T x. SHUFFLE_HASH on
+            # the rank side: edges stay put (pre-hashed by src_id), the
+            # O(V) iterate shuffles + hash-builds per partition in parallel
+            # (never broadcast — see module doc).
+            xh = xx.hint("shuffle_hash")
+            joined = edges.join(xh, edges.src_id == xh.id).select(
                 "dst_id", (F.col("weight") * F.col("x")).alias("wx")
             )
             if salt_partitions:
@@ -183,13 +211,14 @@ def pagerank(
             else:
                 # inner steps of a fused batch: β stays JVM-side — 1-row
                 # dangling-mass aggregate broadcast-crossed into the iterate
-                dm = xx.join(dangling, "id", "left_semi").agg(
-                    F.coalesce(F.sum("x"), F.lit(0.0)).alias("_dm")
-                )
+                dm = xx.join(
+                    dangling.hint("shuffle_hash"), "id", "left_semi"
+                ).agg(F.coalesce(F.sum("x"), F.lit(0.0)).alias("_dm"))
                 base = v_df.crossJoin(F.broadcast(dm))
                 beta_col = F.lit(alpha) * F.col("_dm") + F.lit(1.0 - alpha)
 
             prev = xx
+            contribs = contribs.hint("shuffle_hash")
             xx = (
                 base.join(contribs, base["id"] == contribs["dst_id"], "left")
                 .select(
@@ -199,7 +228,11 @@ def pagerank(
                         + F.lit(alpha) * F.coalesce(F.col("contrib"), F.lit(0.0))
                     ).alias("x"),
                 )
-                .transform(cut_lineage)
+                # plain checkpoint: lineage cut AND hash(id, P) partitioning
+                # carried to the next step (stream side of the SHJ is base,
+                # which is pinned) — the next SpMV/residual joins need no
+                # exchange on the iterate
+                .localCheckpoint(eager=False)
             )
 
         # the one action per batch: residual (between the batch's last two
@@ -208,8 +241,12 @@ def pagerank(
         # checkpoints of every fused step too
         row = (
             xx.alias("new")
-            .join(prev.alias("old"), "id")
-            .join(dangling.withColumn("_dang", F.lit(1)), "id", "left")
+            .join(prev.hint("shuffle_hash").alias("old"), "id")
+            .join(
+                dangling.withColumn("_dang", F.lit(1)).hint("shuffle_hash"),
+                "id",
+                "left",
+            )
             .agg(
                 F.sqrt(
                     F.sum(
