@@ -356,10 +356,14 @@ def scale_level_run(cores: int, edges: int, verts: int, blocks_k: int) -> None:
         )
 
         graph = load_graph(spark, stage_dir, num_partitions=parts)
-        # AQE off for the block kernels only: their plans are statically
-        # partitioned and fixed-shape, so per-exchange re-planning is
-        # pure driver latency. The DataFrame kernel KEEPS AQE (it relies
-        # on runtime stats to broadcast the rank side of the SpMV join).
+        # AQE off for ALL kernels: the plans are statically partitioned
+        # and fixed-shape, so per-exchange re-planning is pure driver
+        # latency. (Round 2 kept AQE on for the DataFrame kernel so its
+        # SpMV join got a runtime-stats broadcast of the rank side; round
+        # 3 removed that reliance on purpose — a driver-built broadcast
+        # of the O(V) iterate is serial in V and cannot scale, so the
+        # kernel now pins SHUFFLE_HASH joins that the static planner
+        # honors without stats. See pagerank.py module doc.)
         spark.conf.set("spark.sql.adaptive.enabled", "false")
         blocks = build_csr_blocks(graph, blocks_k)
         pagerank_csr(
@@ -377,7 +381,6 @@ def scale_level_run(cores: int, edges: int, verts: int, blocks_k: int) -> None:
             )
             pr_wall = min(pr_wall, time.monotonic() - t0)
         # DataFrame kernel (semantic-primary path; heavier parallel work)
-        spark.conf.set("spark.sql.adaptive.enabled", "true")
         pagerank(graph, max_iterations=1, epsilon=0.0)  # warmup
         prdf_wall = float("inf")
         for _ in range(SCALE_REPEATS):

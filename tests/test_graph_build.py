@@ -52,12 +52,19 @@ def test_duplicate_edges_sum(spark):
 
 
 def test_vertex_ids_dense_and_sorted(spark):
+    # the id contract: dense [0, n), assigned in url sort order (CC
+    # min-id/min-url agreement and labelprop tie-breaks rely on the
+    # order), deterministic across independent builds.
     graph = build(spark, SMALL_EDGES)
     rows = sorted(graph.vertices.collect(), key=lambda r: r["id"])
     ids = [r["id"] for r in rows]
     urls = [r["url"] for r in rows]
     assert ids == list(range(graph.n))
     assert urls == sorted(urls)  # ids assigned in url sort order
+    again = build(spark, SMALL_EDGES)
+    assert sorted(map(tuple, again.vertices.collect())) == sorted(
+        map(tuple, graph.vertices.collect())
+    )
 
 
 def test_filter_ratio_keeps_vertices(spark):

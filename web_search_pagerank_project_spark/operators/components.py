@@ -44,6 +44,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
+    BooleanType,
     IntegerType,
     LongType,
     StructField,
@@ -86,17 +87,30 @@ def connected_components(
     # O(V) label table off the driver: a broadcast hash-relation of the
     # labels is built serially on the driver and grows with V — the same
     # scale bug fixed in pagerank.py (weak-scaled 0.54 before the hint).
+    # _changed doubles as the propagation FRONTIER: a vertex whose label
+    # did not change last round already min-folded its label into every
+    # neighbor in the round after it last changed, so re-sending it is a
+    # no-op under monotone min — round-for-round labels are identical to
+    # the dense version (pinned in tests), but the per-round join/shuffle
+    # volume is O(frontier), not O(V). On web graphs the frontier
+    # collapses after a few rounds; at 10^12 vertices this is the
+    # difference between every round paying O(E) and the tail rounds
+    # paying almost nothing. Initial labels count as changed (round 1
+    # must broadcast everyone once).
     labels = (
-        graph.vertices.select("id", F.col("id").alias("label"))
+        graph.vertices.select(
+            "id", F.col("id").alias("label"), F.lit(True).alias("_changed")
+        )
         .repartition(num_partitions, "id")
         .localCheckpoint(eager=False)
     )
 
     converged = False
     for it in range(max_iterations):
-        lh = labels.hint("shuffle_hash")
+        frontier = labels.filter(F.col("_changed")).select("id", "label")
+        fh = frontier.hint("shuffle_hash")
         nbr_min = (
-            sym.join(lh, sym.src_id == lh.id)
+            sym.join(fh, sym.src_id == fh.id)
             .groupBy("dst_id")
             .agg(F.min("label").alias("nbr_label"))
             .hint("shuffle_hash")
@@ -108,7 +122,9 @@ def connected_components(
                 F.least(
                     F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
                 ).alias("label"),
-                (F.col("nbr_label") < F.col("label")).alias("_changed"),
+                F.coalesce(
+                    F.col("nbr_label") < F.col("label"), F.lit(False)
+                ).alias("_changed"),
             )
             .localCheckpoint(eager=False)
         )
@@ -120,14 +136,14 @@ def connected_components(
         )
         if verbose:
             print(f"cc iter={it} changed={changed}")
-        labels = new_labels.select("id", "label")
+        labels = new_labels
         if changed == 0:
             converged = True
             break
     sym.unpersist()
     if not converged and raise_on_cap:
         raise RuntimeError(f"connected_components: no fixed point in {max_iterations} iters")
-    return labels.withColumnRenamed("label", "component")
+    return labels.select("id", F.col("label").alias("component"))
 
 
 def connected_components_star(
@@ -234,6 +250,13 @@ _LABEL_STATE_SCHEMA = StructType(
     [
         StructField("block", IntegerType()),
         StructField("labels", ArrayType(LongType())),
+        # per-vertex frontier flag: label changed in the last round. Sources
+        # outside the frontier are masked out of the next round's mins —
+        # under monotone min their label was already folded into every
+        # neighbor the round after it last changed, so skipping them is
+        # exact (round-for-round identical labels), and late-round shuffle
+        # volume shrinks to O(frontier) instead of O(K*V).
+        StructField("mask", ArrayType(BooleanType())),
         StructField("changed", LongType()),
     ]
 )
@@ -357,8 +380,10 @@ def connected_components_csr(
         out = []
         for b in pdf["block"]:
             b = int(b)
-            out.append((b, np.arange(b, nn, kk, dtype=np.int64), 0))
-        return pd.DataFrame(out, columns=["block", "labels", "changed"])
+            ids = np.arange(b, nn, kk, dtype=np.int64)
+            # everyone starts in the frontier: round 1 must send all labels
+            out.append((b, ids, np.ones(len(ids), dtype=bool), 0))
+        return pd.DataFrame(out, columns=["block", "labels", "mask", "changed"])
 
     state = cut_lineage(
         spark.range(k)
@@ -376,12 +401,24 @@ def connected_components_csr(
                  "mins": pd.Series([], dtype=object)}
             )
         labels = np.asarray(right["labels"].iloc[0], dtype=np.int64)
+        mask = np.asarray(right["mask"].iloc[0], dtype=bool)
+        if not mask.any():
+            # whole block outside the frontier: nothing new to send
+            return pd.DataFrame(
+                {"block_out": pd.Series([], dtype="int32"),
+                 "dst_pos": pd.Series([], dtype=object),
+                 "mins": pd.Series([], dtype=object)}
+            )
         sps = np.asarray(left["src_pos_sorted"].iloc[0], dtype=np.int32)
         dst_pos = np.asarray(left["dst_pos"].iloc[0], dtype=np.int32)
         starts = np.asarray(left["starts"].iloc[0], dtype=np.int32)
         out_ptr = np.asarray(left["out_ptr"].iloc[0], dtype=np.int32)
+        # non-frontier sources contribute +inf and fall out of the min;
+        # dsts whose every in-edge source is outside the frontier are not
+        # emitted at all — late-round partials carry only live entries
+        vals = np.where(mask[sps], labels[sps], np.iinfo(np.int64).max)
         mins = (
-            np.minimum.reduceat(labels[sps], starts)
+            np.minimum.reduceat(vals, starts)
             if len(starts)
             else np.empty(0, dtype=np.int64)
         )
@@ -389,9 +426,11 @@ def connected_components_csr(
         for ob in range(len(out_ptr) - 1):
             s, e = out_ptr[ob], out_ptr[ob + 1]
             if e > s:
-                rows_b.append(ob)
-                rows_p.append(dst_pos[s:e])
-                rows_m.append(mins[s:e])
+                live = mins[s:e] != np.iinfo(np.int64).max
+                if live.any():
+                    rows_b.append(ob)
+                    rows_p.append(dst_pos[s:e][live])
+                    rows_m.append(mins[s:e][live])
         return pd.DataFrame(
             {
                 "block_out": pd.Series(rows_b, dtype="int32"),
@@ -403,19 +442,21 @@ def connected_components_csr(
     def merge_min(key, left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
         labels = np.asarray(left["labels"].iloc[0], dtype=np.int64)
         new = labels.copy()
-        if len(right):
-            pos = np.concatenate(
-                [np.asarray(p, dtype=np.int32) for p in right["dst_pos"]]
-            )
-            mn = np.concatenate(
-                [np.asarray(m, dtype=np.int64) for m in right["mins"]]
-            )
-            np.minimum.at(new, pos, mn)
+        # positions are unique WITHIN one partial row (one min per dst per
+        # source block), so each row folds in as one vectorized
+        # fancy-index minimum — no np.minimum.at (unbuffered scalar
+        # scatter, ~10x slower on big partials)
+        for p, m in zip(right["dst_pos"], right["mins"]):
+            pos = np.asarray(p, dtype=np.int32)
+            mn = np.asarray(m, dtype=np.int64)
+            new[pos] = np.minimum(new[pos], mn)
+        mask = new != labels
         return pd.DataFrame(
             {
                 "block": [int(key[0])],
                 "labels": [new],
-                "changed": [int((new != labels).sum())],
+                "mask": [mask],
+                "changed": [int(mask.sum())],
             }
         )
 

@@ -20,10 +20,12 @@ as declarative DataFrame operations (SURVEY.md §2.1 O1-O9):
                          sorted input, and well-defined on unsorted input.
 
 Scale design: dense-id assignment avoids a single global window (which would
-serialize on one task at 10^12 urls) by using a range-partitioned two-pass —
-per-partition ``row_number`` plus collected per-partition offsets (K scalar
-rows to the driver). Joins url->id are plain equi-joins that AQE turns into
-broadcast joins when the dictionary is small and sort-merge otherwise.
+serialize on one task at 10^12 urls) by a hash-partitioned two-pass —
+per-partition record numbers from ``monotonically_increasing_id`` after a
+local sort, plus collected per-partition offsets (K scalar rows to the
+driver); one shuffle of the dictionary total. Joins url->id are plain
+equi-joins that AQE turns into broadcast joins when the dictionary is small
+and sort-merge otherwise.
 """
 
 from __future__ import annotations
@@ -75,10 +77,16 @@ def assign_dense_ids(
 ):
     """Assign dense contiguous int64 ids to a distinct `url` column.
 
-    Scalable dictionary encode: range-partition by url, number rows within
-    each partition (cheap local sort), then add collected per-partition
-    offsets. Only K tiny rows hit the driver; no global single-partition
-    window. Resulting order is global lexicographic — deterministic.
+    Scalable dictionary encode: range-partition by url (global
+    lexicographic order — CC min-id/min-url agreement and labelprop
+    tie-breaks depend on id order following url order), sort locally, and
+    read per-partition dense row numbers straight out of
+    ``monotonically_increasing_id`` (layout: partition id in the upper 31
+    bits, sequential record number in the lower 33 — a pure projection,
+    so numbering costs neither a window nor the hash(_pid) exchange the
+    old row_number() plan paid). Collected per-partition counts become
+    exclusive prefix offsets; only K tiny rows hit the driver; ids are
+    globally dense, url-sorted, deterministic.
 
     return_count=True returns (df, n): the vertex count falls out of the
     per-partition offsets for free, so callers skip a whole count() job.
@@ -87,28 +95,42 @@ def assign_dense_ids(
     if num_partitions is None:
         num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
 
-    # repartitionByRange SAMPLES the data to choose range boundaries, so two
-    # computations of the same plan can place a url in different partitions.
-    # The offsets below are collected from one materialization; if the join
-    # re-computed the exchange with a fresh sample, ids would collide/skip
-    # (observed as corrupt ids at 1M urls / 16 partitions). localCheckpoint
-    # pins ONE materialization for both the counts and the join; a lost
-    # block fails loudly instead of silently mis-assigning ids. Lazy: the
-    # counts job below is the first action, so IT materializes the
-    # checkpoint — one job instead of an eager-checkpoint job + a counts
-    # job (round-3 build-latency cut; blocks exist before any consumer).
+    # repartitionByRange SAMPLES the data to choose range boundaries. Two
+    # consequences handled here:
+    #   * the sampling pass re-computes the child plan — for the usual
+    #     caller that is the full union+distinct over every edge endpoint,
+    #     the single most expensive stage of the build. Persisting the
+    #     input makes the sampler's computation the one that fills the
+    #     cache and every later pass a cache read (O(V) storage — the
+    #     dictionary itself, never the edges).
+    #   * sampled boundaries can differ between two computations of the
+    #     same plan, so the offsets collected below would not match a
+    #     recomputed exchange (observed as corrupt ids at 1M urls). The
+    #     lazy localCheckpoint pins ONE materialization for both the
+    #     counts job and the id projection; a lost block fails loudly
+    #     instead of silently mis-assigning ids.
+    # >2^33 rows per partition would overflow the record number; that is
+    # 8.5e9 urls in one range partition — size num_partitions accordingly.
+    urls = urls.persist()
     parts = (
         urls.repartitionByRange(num_partitions, "url")
-        .withColumn("_pid", F.spark_partition_id())
+        .sortWithinPartitions("url")
+        .withColumn("_mono", F.monotonically_increasing_id())
+        .select(
+            "url",
+            F.shiftright("_mono", 33).cast("int").alias("_pid"),
+            (F.col("_mono") % F.lit(1 << 33)).alias("_rn"),
+        )
         .localCheckpoint(eager=False)
     )
-    w = Window.partitionBy("_pid").orderBy("url")
-    local = parts.withColumn("_rn", F.row_number().over(w) - F.lit(1))
     # per-partition counts -> exclusive prefix offsets (tiny driver-side step)
     counts = {
         r["_pid"]: r["cnt"]
-        for r in local.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()
+        for r in parts.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()
     }
+    # the collect above materialized the checkpoint; the sampler cache has
+    # served both its passes and can go
+    urls.unpersist()
     offsets, acc = {}, 0
     for pid in sorted(counts):
         offsets[pid] = acc
@@ -117,7 +139,7 @@ def assign_dense_ids(
         [(pid, off) for pid, off in offsets.items()], "_pid int, _off long"
     )
     out = (
-        local.join(F.broadcast(offset_df), "_pid")
+        parts.join(F.broadcast(offset_df), "_pid")
         .select((F.col("_off") + F.col("_rn")).cast("long").alias(id_col), "url")
     )
     if return_count:
