@@ -277,6 +277,20 @@ SCALE_IPA = int(os.environ.get("WSPR_SCALE_IPA", "3"))
 SCALE_BLOCKS = int(
     os.environ.get("WSPR_SCALE_BLOCKS", str(max(16, SCALE_EDGES // 3_000_000)))
 )
+# CC block count: FIXED at the same value for every level. Min-label's
+# per-destination-block fan-in is one min-array per SOURCE block, so its
+# dense-round shuffle volume is min(K*V, ~E); scaling K with the level
+# multiplies per-core volume until K*V saturates at E. The 10^12-edge
+# target is edge-saturated for any practical K (per-core volume E/cores,
+# constant); fixed K mirrors that constant-fan-in property at test scale
+# (measured: K growing 20->80 weak-scales 0.71, fixed K=16 at 0.97 with a
+# faster absolute high level). PageRank keeps per-level K: its partials
+# are float64 sums whose volume is bounded the same way but its wall is
+# edge-dominated (bincount over E/core), measured insensitive to this.
+SCALE_CC_BLOCKS = int(os.environ.get("WSPR_SCALE_CC_BLOCKS", "16"))
+# fresh JVM sessions per level; min across sessions (session-granular
+# noise: identical work in two sessions measured 23% apart)
+SCALE_SESSIONS = int(os.environ.get("WSPR_SCALE_SESSIONS", "2"))
 
 
 def _stage_dir_for(edges: int, verts: int) -> str:
@@ -329,7 +343,9 @@ def ensure_staged(edges: int, verts: int) -> str:
     return stage_dir
 
 
-def scale_level_run(cores: int, edges: int, verts: int, blocks_k: int) -> None:
+def scale_level_run(
+    cores: int, edges: int, verts: int, blocks_k: int, cc_blocks_k: int
+) -> None:
     """One scaling level: local[cores] measurements on the staged
     (edges, verts) graph packed into blocks_k CSR blocks; ONE JSON line out.
 
@@ -392,11 +408,30 @@ def scale_level_run(cores: int, edges: int, verts: int, blocks_k: int) -> None:
             prdf_wall = min(prdf_wall, time.monotonic() - t0)
         # CC: fixed min-label rounds over pre-staged symmetric edges;
         # the block build is untimed setup (same discipline as the
-        # PageRank blocks / the staged graph build)
+        # PageRank blocks / the staged graph build). CC uses its OWN block
+        # count, FIXED across levels (default 16): the per-destination
+        # partial fan-in of min-label propagation is one min-array per
+        # source block, so its dense-round shuffle volume is
+        # min(K*V, ~E) — growing K with the level multiplies volume by
+        # K until K*V reaches E. The 10^12-edge target regime is
+        # edge-saturated (K*V >> E for any practical K), where per-core
+        # volume is E/cores = constant; holding K fixed puts both test
+        # levels in a constant-fan-in regime that mirrors that property
+        # instead of the unsaturated mid-scale artifact (measured: K
+        # growing 20->80 with the level weak-scales at 0.71, fixed K=16
+        # at 0.97 with a FASTER absolute high level).
         spark.conf.set("spark.sql.adaptive.enabled", "false")
+        # the PageRank working set (80-block CSR arrays + the cached edge
+        # table, ~10 GB at 240M edges) is dead weight for CC (which reads
+        # its own staged sym edges and needs graph only for n); leaving it
+        # resident measured CC at 38 s where a fresh session runs 16 s —
+        # heap-pressure bleed between measurements, not CC cost
+        blocks.unpersist(blocking=True)
+        graph.edges.unpersist(blocking=True)
+        spark.sparkContext._jvm.System.gc()
         sym = spark.read.parquet(f"{stage_dir}/sym_edges")
         cc_blocks = build_minlabel_blocks(
-            graph, blocks_k, symmetric_edges=sym
+            graph, cc_blocks_k, symmetric_edges=sym
         )
         connected_components_csr(
             graph, max_rounds=1, blocks=cc_blocks, raise_on_cap=False
@@ -431,13 +466,16 @@ def scale_level_run(cores: int, edges: int, verts: int, blocks_k: int) -> None:
         spark.stop()
 
 
-def _run_pinned_level(cores: int, edges: int, verts: int, blocks_k: int) -> dict:
+def _run_one_pinned_session(
+    cores: int, edges: int, verts: int, blocks_k: int, cc_blocks_k: int
+) -> dict:
     import shutil
     import subprocess
 
     cmd = [
         sys.executable, os.path.abspath(__file__),
         "--scale-level", str(cores), str(edges), str(verts), str(blocks_k),
+        str(cc_blocks_k),
     ]
     if shutil.which("taskset") is not None:
         cmd = ["taskset", "-c", f"0-{cores - 1}"] + cmd
@@ -450,6 +488,30 @@ def _run_pinned_level(cores: int, edges: int, verts: int, blocks_k: int) -> dict
         sys.stderr.write(proc.stderr[-2000:])
         raise RuntimeError(f"scale level cores={cores} edges={edges} failed")
     return json.loads(line[-1])
+
+
+def _run_pinned_level(
+    cores: int, edges: int, verts: int, blocks_k: int, cc_blocks_k: int
+) -> dict:
+    """min across SCALE_SESSIONS fresh JVM sessions of the per-session
+    min-of-repeats. Within one session repeats spread only ~4%, but two
+    sessions of identical work measured 23% apart (JVM heap placement /
+    JIT-profile luck is decided once per process) — min-of-sessions
+    extends the same noise-robust statistic one granularity up."""
+    out = None
+    for _ in range(SCALE_SESSIONS):
+        r = _run_one_pinned_session(cores, edges, verts, blocks_k, cc_blocks_k)
+        if out is None:
+            out = r
+            continue
+        if r["pr_wall"] < out["pr_wall"]:
+            for key in ("pr_wall", "iters_per_hour", "edges_per_sec"):
+                out[key] = r[key]
+        if r["prdf_wall"] < out["prdf_wall"]:
+            out["prdf_wall"] = r["prdf_wall"]
+            out["prdf_iters_per_hour"] = r["prdf_iters_per_hour"]
+        out["cc_wall"] = min(out["cc_wall"], r["cc_wall"])
+    return out
 
 
 def scaling_run() -> None:
@@ -493,9 +555,15 @@ def scaling_run() -> None:
 
     # three pinned subprocesses; the hi-core/full-size run serves as both
     # the strong-scaling numerator and the weak-scaling big level
-    strong_lo = _run_pinned_level(lo, SCALE_EDGES, SCALE_VERTS, big_blocks)
-    big = _run_pinned_level(hi, SCALE_EDGES, SCALE_VERTS, big_blocks)
-    weak_lo = _run_pinned_level(lo, weak_edges, weak_verts, weak_blocks)
+    strong_lo = _run_pinned_level(
+        lo, SCALE_EDGES, SCALE_VERTS, big_blocks, SCALE_CC_BLOCKS
+    )
+    big = _run_pinned_level(
+        hi, SCALE_EDGES, SCALE_VERTS, big_blocks, SCALE_CC_BLOCKS
+    )
+    weak_lo = _run_pinned_level(
+        lo, weak_edges, weak_verts, weak_blocks, SCALE_CC_BLOCKS
+    )
 
     strong = {
         k: (strong_lo[w] / big[w]) / (hi / lo)
@@ -518,6 +586,7 @@ def scaling_run() -> None:
             "iters": SCALE_ITERS, "cc_rounds": SCALE_CC_ROUNDS,
             "repeats": SCALE_REPEATS, "ipa": SCALE_IPA,
             "blocks": big_blocks, "weak_blocks": weak_blocks,
+            "cc_blocks": SCALE_CC_BLOCKS, "sessions": SCALE_SESSIONS,
         },
     }
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
@@ -599,12 +668,23 @@ Two protocols, both reported:
 Input: synthetic power-law web graphs, seed=42, zipf(1.5) hubs.
 PageRank: both kernels, alpha=0.85, {p['iters']} iterations x
 {p['repeats']} repeats after 1 warmup, min wall taken (fixed cap =>
-identical work per level; min defeats VM jitter); the CSR kernel fuses
+identical work per level; min defeats VM jitter; the min is also taken
+across {p.get('sessions', 1)} fresh JVM sessions per level — identical
+work in two sessions measured 23% apart, JVM heap-placement/JIT luck
+being decided once per process); the CSR kernel fuses
 {p['ipa']} iterations per Spark action (identical numerics, driver
 latency amortized). CC: {p['cc_rounds']} min-label rounds (fixed) over
 the CSR min-label kernel, all rounds in one action, x {p['repeats']}
 repeats min; symmetrized edges and block packing are staged setup, not
-the scaled metric (same discipline as the graph build itself).
+the scaled metric (same discipline as the graph build itself). CC
+blocks are FIXED at {p.get('cc_blocks', p['blocks'])} for BOTH levels:
+min-label's per-destination fan-in is one min-array per source block, so
+its dense-round volume is min(K*V, ~E) — growing K with the level
+multiplies per-core volume until K*V saturates at E. The 10^12-edge
+target regime is edge-saturated for any practical K (per-core volume
+E/cores = constant); fixed K mirrors that constant-fan-in property at
+test scale (measured: level-scaled K 20->80 weak-scales 0.71, fixed K=16
+0.97, with a faster absolute high level).
 
 | run | level | edges | blocks | PR-CSR wall (s) | PR-CSR iters/hour | edge-traversals/s | PR-DF wall (s) | CC wall (s) |
 |---|---|---|---|---|---|---|---|---|
@@ -669,6 +749,7 @@ def main() -> None:
         scale_level_run(
             int(sys.argv[i + 1]), int(sys.argv[i + 2]),
             int(sys.argv[i + 3]), int(sys.argv[i + 4]),
+            int(sys.argv[i + 5]),
         )
         return
     if "--scaling" in sys.argv:

@@ -51,6 +51,7 @@ from pyspark.sql.types import (
     StructType,
 )
 
+from .blockmap import balanced_block_keys
 from .graph_build import GraphTables
 from .lineage import cut_lineage
 
@@ -73,13 +74,25 @@ def connected_components(
     max_iterations: int = 100,
     verbose: bool = False,
     raise_on_cap: bool = True,
+    symmetric_edges: DataFrame | None = None,
 ) -> DataFrame:
     """Returns (id: long, component: long) — component = min vertex id reachable
     (undirected). Converged exactly (fixed point), or raises if max_iterations
-    is hit without convergence."""
+    is hit without convergence.
+
+    symmetric_edges: optionally a pre-symmetrized, self-loop-free, distinct
+    (src_id, dst_id) table (e.g. staged parquet) — skips the symmetrize
+    shuffle here (same contract as build_minlabel_blocks). Supply it
+    hash-partitioned by src_id and persisted, or every round's frontier
+    join pays a full edge exchange.
+    """
     spark = graph.edges.sparkSession
     num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    sym = _symmetrized(graph, num_partitions)
+    external_sym = symmetric_edges is not None
+    if external_sym:
+        sym = symmetric_edges.select("src_id", "dst_id")
+    else:
+        sym = _symmetrized(graph, num_partitions)
 
     # labels stay hash(id, P)-partitioned across rounds (plain localCheckpoint
     # preserves outputPartitioning; the round plan's Aggregate clamps the
@@ -140,7 +153,8 @@ def connected_components(
         if changed == 0:
             converged = True
             break
-    sym.unpersist()
+    if not external_sym:
+        sym.unpersist()
     if not converged and raise_on_cap:
         raise RuntimeError(f"connected_components: no fixed point in {max_iterations} iters")
     return labels.select("id", F.col("label").alias("component"))
@@ -238,6 +252,11 @@ def connected_components_star(
 _MIN_BLOCK_SCHEMA = StructType(
     [
         StructField("block", IntegerType()),
+        # balanced shuffle key (operators/blockmap.py): the cogroups group
+        # on bkey, whose Murmur3 placement fills partitions exactly;
+        # grouping on raw block ids measured 1.6-2x stage stretch from
+        # hash clumping
+        StructField("bkey", IntegerType()),
         StructField("src_pos_sorted", ArrayType(IntegerType())),
         StructField("dst_pos", ArrayType(IntegerType())),
         StructField("starts", ArrayType(IntegerType())),
@@ -249,6 +268,7 @@ _MIN_BLOCK_SCHEMA = StructType(
 _LABEL_STATE_SCHEMA = StructType(
     [
         StructField("block", IntegerType()),
+        StructField("bkey", IntegerType()),
         StructField("labels", ArrayType(LongType())),
         # per-vertex frontier flag: label changed in the last round. Sources
         # outside the frontier are masked out of the next round's mins —
@@ -263,7 +283,7 @@ _LABEL_STATE_SCHEMA = StructType(
 
 _MIN_PARTIAL_SCHEMA = StructType(
     [
-        StructField("block_out", IntegerType()),
+        StructField("bkey_out", IntegerType()),
         StructField("dst_pos", ArrayType(IntegerType())),
         StructField("mins", ArrayType(LongType())),
     ]
@@ -286,6 +306,9 @@ def build_minlabel_blocks(
     shuffle here.
     """
     k = num_blocks
+    spark = graph.edges.sparkSession
+    p = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    bkeys = balanced_block_keys(k, p)
 
     def to_block(pdf: pd.DataFrame) -> pd.DataFrame:
         block = int(pdf["block"].iloc[0])
@@ -309,6 +332,7 @@ def build_minlabel_blocks(
         return pd.DataFrame(
             {
                 "block": [block],
+                "bkey": [bkeys[block]],
                 "src_pos_sorted": [src_pos_sorted],
                 "dst_pos": [dst_pos],
                 "starts": [starts],
@@ -317,8 +341,6 @@ def build_minlabel_blocks(
             }
         )
 
-    spark = graph.edges.sparkSession
-    p = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     if symmetric_edges is not None:
         sym = symmetric_edges.select("src_id", "dst_id")
     else:
@@ -335,8 +357,10 @@ def build_minlabel_blocks(
         .groupBy("block")
         .applyInPandas(to_block, _MIN_BLOCK_SCHEMA)
         # same partitioning-preserving leaf trick as build_csr_blocks: the
-        # per-round cogroups must never re-shuffle the edge arrays
-        .repartition(p, "block")
+        # per-round cogroups must never re-shuffle the edge arrays. The
+        # partitioning (and the cogroup key) is the BALANCED bkey, not the
+        # raw block id — see operators/blockmap.py.
+        .repartition(p, "bkey")
         .localCheckpoint(eager=True)
     )
 
@@ -372,6 +396,17 @@ def connected_components_csr(
                 f"blocks table was packed with k={k} but num_blocks={num_blocks}"
             )
 
+    # block -> balanced shuffle key, read off the blocks table itself (K
+    # tiny rows once per call) so state and partials agree with however
+    # the blocks were packed, independent of this session's partition conf
+    bkey_of = {
+        r["block"]: r["bkey"]
+        for r in blocks.select("block", "bkey").collect()
+    }
+    bkey_arr = np.full(k, -1, dtype=np.int64)
+    for b, bk_ in bkey_of.items():
+        bkey_arr[b] = bk_
+
     # initial labels = own ids; ids of block b are b, b+k, b+2k, ... so the
     # state is generated directly per block — no join, no vertex scan
     nn, kk = n, k
@@ -382,8 +417,10 @@ def connected_components_csr(
             b = int(b)
             ids = np.arange(b, nn, kk, dtype=np.int64)
             # everyone starts in the frontier: round 1 must send all labels
-            out.append((b, ids, np.ones(len(ids), dtype=bool), 0))
-        return pd.DataFrame(out, columns=["block", "labels", "mask", "changed"])
+            out.append((b, int(bkey_arr[b]), ids, np.ones(len(ids), dtype=bool), 0))
+        return pd.DataFrame(
+            out, columns=["block", "bkey", "labels", "mask", "changed"]
+        )
 
     state = cut_lineage(
         spark.range(k)
@@ -396,7 +433,7 @@ def connected_components_csr(
     def spmv_min(key, left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
         if len(left) == 0 or len(right) == 0:
             return pd.DataFrame(
-                {"block_out": pd.Series([], dtype="int32"),
+                {"bkey_out": pd.Series([], dtype="int32"),
                  "dst_pos": pd.Series([], dtype=object),
                  "mins": pd.Series([], dtype=object)}
             )
@@ -405,7 +442,7 @@ def connected_components_csr(
         if not mask.any():
             # whole block outside the frontier: nothing new to send
             return pd.DataFrame(
-                {"block_out": pd.Series([], dtype="int32"),
+                {"bkey_out": pd.Series([], dtype="int32"),
                  "dst_pos": pd.Series([], dtype=object),
                  "mins": pd.Series([], dtype=object)}
             )
@@ -428,18 +465,19 @@ def connected_components_csr(
             if e > s:
                 live = mins[s:e] != np.iinfo(np.int64).max
                 if live.any():
-                    rows_b.append(ob)
+                    rows_b.append(int(bkey_arr[ob]))
                     rows_p.append(dst_pos[s:e][live])
                     rows_m.append(mins[s:e][live])
         return pd.DataFrame(
             {
-                "block_out": pd.Series(rows_b, dtype="int32"),
+                "bkey_out": pd.Series(rows_b, dtype="int32"),
                 "dst_pos": rows_p,
                 "mins": rows_m,
             }
         )
 
     def merge_min(key, left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        # key is the balanced bkey; the true block number rides the state
         labels = np.asarray(left["labels"].iloc[0], dtype=np.int64)
         new = labels.copy()
         # positions are unique WITHIN one partial row (one min per dst per
@@ -453,7 +491,8 @@ def connected_components_csr(
         mask = new != labels
         return pd.DataFrame(
             {
-                "block": [int(key[0])],
+                "block": [int(left["block"].iloc[0])],
+                "bkey": [int(key[0])],
                 "labels": [new],
                 "mask": [mask],
                 "changed": [int(mask.sum())],
@@ -467,13 +506,13 @@ def connected_components_csr(
         st = state
         for _ in range(batch):
             partials = (
-                blocks.groupBy("block")
-                .cogroup(st.groupBy("block"))
+                blocks.groupBy("bkey")
+                .cogroup(st.groupBy("bkey"))
                 .applyInPandas(spmv_min, _MIN_PARTIAL_SCHEMA)
             )
             st = cut_lineage(
-                st.groupBy("block")
-                .cogroup(partials.groupBy("block_out"))
+                st.groupBy("bkey")
+                .cogroup(partials.groupBy("bkey_out"))
                 .applyInPandas(merge_min, _LABEL_STATE_SCHEMA)
             )
         changed = int(st.agg(F.sum("changed")).collect()[0][0] or 0)

@@ -123,6 +123,7 @@ from pyspark.sql.types import (
     StructType,
 )
 
+from .blockmap import balanced_block_keys
 from .graph_build import GraphTables, dangling_vertices
 from .lineage import cut_lineage
 from .pagerank import IterationMetrics, PageRankResult
@@ -130,6 +131,10 @@ from .pagerank import IterationMetrics, PageRankResult
 _CSR_SCHEMA = StructType(
     [
         StructField("block", IntegerType()),
+        # balanced shuffle key (operators/blockmap.py): cogroups group on
+        # bkey — Murmur3 over raw block ids clumps (80 blocks / 16
+        # partitions measured max-load 8 vs ideal 5 => 1.6x stage stretch)
+        StructField("bkey", IntegerType()),
         # per-edge arrays, GROUPED BY DESTINATION (segment layout): the
         # per-dst sum is one np.add.reduceat over `starts` — no dst_inv
         # index array crosses the Arrow boundary (4 bytes/edge saved, and
@@ -145,7 +150,7 @@ _CSR_SCHEMA = StructType(
 
 _PARTIAL_SCHEMA = StructType(
     [
-        StructField("block_out", IntegerType()),
+        StructField("bkey_out", IntegerType()),
         # source block id: the merge sorts partials by it before summing,
         # making the float64 contribution sum independent of shuffle
         # arrival order (run-to-run bit determinism)
@@ -163,6 +168,7 @@ _PARTIAL_SCHEMA = StructType(
 _STATE_SCHEMA = StructType(
     [
         StructField("block", IntegerType()),
+        StructField("bkey", IntegerType()),
         StructField("xs", ArrayType(DoubleType())),
         StructField("v", ArrayType(DoubleType()), nullable=True),
         StructField("dang_idx", ArrayType(IntegerType())),
@@ -180,6 +186,9 @@ def build_csr_blocks(graph: GraphTables, num_blocks: int) -> DataFrame:
     the (small) state — the edge arrays are moved exactly once, here.
     """
     k = num_blocks
+    spark = graph.edges.sparkSession
+    p = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    bkeys = balanced_block_keys(k, p)
 
     def to_block(pdf: pd.DataFrame) -> pd.DataFrame:
         block = int(pdf["block"].iloc[0])
@@ -209,6 +218,7 @@ def build_csr_blocks(graph: GraphTables, num_blocks: int) -> DataFrame:
         return pd.DataFrame(
             {
                 "block": [block],
+                "bkey": [bkeys[block]],
                 "src_pos": [src_pos[edge_order]],
                 "weight": [w[edge_order]],
                 "starts": [starts],
@@ -218,8 +228,6 @@ def build_csr_blocks(graph: GraphTables, num_blocks: int) -> DataFrame:
             }
         )
 
-    spark = graph.edges.sparkSession
-    p = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     blocks = (
         graph.edges.withColumn(
             "block", F.pmod(F.col("src_id"), F.lit(k)).cast("int")
@@ -232,7 +240,7 @@ def build_csr_blocks(graph: GraphTables, num_blocks: int) -> DataFrame:
         # Persisting behind an explicit hash repartition makes the scan
         # advertise HashPartitioning(block, P): the per-iteration cogroups
         # then shuffle only the state side.
-        .repartition(p, "block")
+        .repartition(p, "bkey")
         # plain localCheckpoint (NOT cut_lineage): Dataset.checkpoint carries
         # the physical plan's outputPartitioning into the LogicalRDD, stores
         # the arrays (MEMORY_AND_DISK), and truncates the whole graph-build
@@ -249,6 +257,7 @@ def _make_state(
     graph: GraphTables,
     v_df: DataFrame | None,
     k: int,
+    bkey_arr: "np.ndarray",
     x_df: DataFrame | None = None,
 ) -> DataFrame:
     """Build the K-row block state (eagerly lineage-cut).
@@ -290,9 +299,11 @@ def _make_state(
         xs = pdf["x"].to_numpy(np.float64)
         dang_idx = np.flatnonzero(pdf["_d"].notna().to_numpy()).astype(np.int32)
         v_arr = None if uniform_v else pdf["vraw"].to_numpy(np.float64) / norm
+        b = int(pdf["block"].iloc[0])
         return pd.DataFrame(
             {
-                "block": [int(pdf["block"].iloc[0])],
+                "block": [b],
+                "bkey": [int(bkey_arr[b])],
                 "xs": [xs],
                 "v": [v_arr],
                 "dang_idx": [dang_idx],
@@ -356,6 +367,12 @@ def pagerank_csr(
             raise ValueError(
                 f"blocks table was packed with k={k} but num_blocks={num_blocks}"
             )
+    # block -> balanced shuffle key, read off the blocks table (K tiny rows
+    # once per run) so state/partials agree with however the blocks were
+    # packed, independent of this session's partition conf
+    bkey_arr = np.full(k, -1, dtype=np.int64)
+    for r in blocks.select("block", "bkey").collect():
+        bkey_arr[r["block"]] = r["bkey"]
 
     x0_val = 1.0 / math.sqrt(n)
     start_iter = 0
@@ -365,10 +382,11 @@ def pagerank_csr(
         if resumed is not None:
             ranks_df, start_iter = resumed
             state = _make_state(
-                graph, v, k, x_df=ranks_df.withColumnRenamed("rank", "x")
+                graph, v, k, bkey_arr,
+                x_df=ranks_df.withColumnRenamed("rank", "x"),
             )
     if state is None:
-        state = _make_state(graph, v, k)
+        state = _make_state(graph, v, k, bkey_arr)
 
     uniform_v = v is None
     a = float(alpha)
@@ -381,7 +399,7 @@ def pagerank_csr(
         # (state covers all dense ids).
         if len(right) == 0:
             return pd.DataFrame(
-                {"block_out": pd.Series([], dtype="int32"),
+                {"bkey_out": pd.Series([], dtype="int32"),
                  "block_src": pd.Series([], dtype="int32"),
                  "dst_pos": pd.Series([], dtype=object),
                  "contribs": pd.Series([], dtype=object),
@@ -411,8 +429,10 @@ def pagerank_csr(
                     out_contribs[ob] = contrib[s:e]
         return pd.DataFrame(
             {
-                "block_out": pd.Series(range(kk), dtype="int32"),
-                "block_src": pd.Series([int(key[0])] * kk, dtype="int32"),
+                "bkey_out": pd.Series(bkey_arr[:kk].astype(np.int32)),
+                "block_src": pd.Series(
+                    [int(right["block"].iloc[0])] * kk, dtype="int32"
+                ),
                 "dst_pos": out_pos,
                 "contribs": out_contribs,
                 "dang_part": pd.Series([dang_part] * kk, dtype="float64"),
@@ -429,8 +449,10 @@ def pagerank_csr(
             return pd.DataFrame(
                 {c: pd.Series([], dtype=t)
                  for c, t in zip(
-                     ["block", "xs", "v", "dang_idx", "res_sq", "dang_sum"],
-                     ["int32", object, object, object, "float64", "float64"],
+                     ["block", "bkey", "xs", "v", "dang_idx",
+                      "res_sq", "dang_sum"],
+                     ["int32", "int32", object, object, object,
+                      "float64", "float64"],
                  )}
             )
         x_old = np.asarray(left["xs"].iloc[0], dtype=np.float64)
@@ -464,7 +486,8 @@ def pagerank_csr(
         v_out = None if uniform_v else np.asarray(left["v"].iloc[0], dtype=np.float64)
         return pd.DataFrame(
             {
-                "block": [int(key[0])],
+                "block": [int(left["block"].iloc[0])],
+                "bkey": [int(key[0])],
                 "xs": [x_new],
                 "v": [v_out],
                 "dang_idx": [dang_idx],
@@ -485,13 +508,13 @@ def pagerank_csr(
         st = state
         for _sub in range(batch):
             partials = (
-                blocks.groupBy("block")
-                .cogroup(st.groupBy("block"))
+                blocks.groupBy("bkey")
+                .cogroup(st.groupBy("bkey"))
                 .applyInPandas(spmv, _PARTIAL_SCHEMA)
             )
             st = (
-                st.groupBy("block")
-                .cogroup(partials.groupBy("block_out"))
+                st.groupBy("bkey")
+                .cogroup(partials.groupBy("bkey_out"))
                 .applyInPandas(merge, _STATE_SCHEMA)
             )
             # cut_lineage, NOT plain localCheckpoint: this plan has no
