@@ -114,3 +114,26 @@ def test_balanced_block_keys_match_spark_hash(spark):
             pid = _partition_of(key, p)
             loads[pid] = loads.get(pid, 0) + 1
         assert max(loads.values()) == math.ceil(k / p)
+
+
+def test_cc_csr_edgeless_blocks_not_merged(spark):
+    """ADVICE r3: residue classes with no (symmetrized) edges used to be
+    absent from the minlabel blocks table, aliasing their state rows onto
+    the -1 bkey sentinel. Isolated vertices must come back as their own
+    singleton components."""
+    from web_search_pagerank_project_spark.operators.graph_build import GraphTables
+
+    vertices = spark.createDataFrame(
+        [(i, str(i)) for i in range(8)], "id long, url string"
+    )
+    edges = spark.createDataFrame(
+        [(0, 1, 1.0), (1, 4, 1.0), (4, 5, 1.0), (5, 0, 1.0)],
+        "src_id long, dst_id long, weight double",
+    )
+    graph = GraphTables(vertices, edges, 8)
+    # blocks 2 and 3 (ids {2, 6} and {3, 7}) have no edges at num_blocks=4
+    got = _labels(connected_components_csr(graph, num_blocks=4))
+    want = _labels(connected_components(graph))
+    assert set(got) == set(range(8))
+    assert got == want
+    assert got[2] == 2 and got[3] == 3 and got[6] == 6 and got[7] == 7

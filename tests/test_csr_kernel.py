@@ -120,3 +120,28 @@ def test_csr_random_graph_many_blocks(spark):
     for i in a:
         assert np.isclose(a[i], b[i], atol=1e-10), i
     graph.unpersist()
+
+
+def test_csr_all_dangling_blocks_not_merged(spark):
+    """ADVICE r3 (high): blocks whose every vertex is a sink used to be
+    absent from the blocks table; their state rows then shared the -1
+    bkey sentinel and silently merged, dropping vertices from the output.
+
+    Dense ids are url-sorted, so urls "0".."7" get ids 0..7; with
+    num_blocks=4 the sinks {2, 3, 6, 7} make blocks 2 and 3 edge-less.
+    """
+    rows = [
+        ("0", "2"), ("0", "3"), ("1", "6"), ("1", "7"),
+        ("4", "2"), ("5", "3"), ("4", "0"), ("5", "1"),
+    ]
+    df = spark.createDataFrame(rows, "src string, dst string")
+    graph = build_graph(df, cache=True)
+    assert graph.n == 8
+    res_df = pagerank(graph, max_iterations=6)
+    res_csr = pagerank_csr(graph, max_iterations=6, num_blocks=4)
+    a = {r["id"]: r["rank"] for r in res_df.ranks.collect()}
+    b = {r["id"]: r["rank"] for r in res_csr.ranks.collect()}
+    assert set(b) == set(range(8))  # 3 and 7 used to vanish
+    for i in a:
+        assert np.isclose(a[i], b[i], atol=1e-12), i
+    graph.unpersist()

@@ -310,8 +310,24 @@ def build_minlabel_blocks(
     p = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     bkeys = balanced_block_keys(k, p)
 
-    def to_block(pdf: pd.DataFrame) -> pd.DataFrame:
-        block = int(pdf["block"].iloc[0])
+    def to_block(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        block = int(key[0])
+        pdf = pdf[pdf["dst_id"].notna()]
+        if len(pdf) == 0:
+            # edge-less block: emitted anyway so the block -> bkey mapping
+            # is TOTAL (ADVICE r3: absent blocks shared the -1 sentinel and
+            # their state rows silently merged in the cogroups)
+            return pd.DataFrame(
+                {
+                    "block": [block],
+                    "bkey": [bkeys[block]],
+                    "src_pos_sorted": [np.empty(0, dtype=np.int32)],
+                    "dst_pos": [np.empty(0, dtype=np.int32)],
+                    "starts": [np.empty(0, dtype=np.int32)],
+                    "out_ptr": [np.zeros(k + 1, dtype=np.int32)],
+                    "k": [k],
+                }
+            )
         src = pdf["src_id"].to_numpy(np.int64)
         dst = pdf["dst_id"].to_numpy(np.int64)
         src_pos = ((src - block) // k).astype(np.int32)
@@ -352,8 +368,14 @@ def build_minlabel_blocks(
             .filter(F.col("src_id") != F.col("dst_id"))
             .distinct()
         )
+    # one null-dst sentinel per block keeps the mapping total (see to_block)
+    sentinels = spark.range(k).select(
+        F.col("id").alias("src_id"),
+        F.lit(None).cast("long").alias("dst_id"),
+    )
     return (
-        sym.withColumn("block", F.pmod(F.col("src_id"), F.lit(k)).cast("int"))
+        sym.unionAll(sentinels)
+        .withColumn("block", F.pmod(F.col("src_id"), F.lit(k)).cast("int"))
         .groupBy("block")
         .applyInPandas(to_block, _MIN_BLOCK_SCHEMA)
         # same partitioning-preserving leaf trick as build_csr_blocks: the
@@ -406,6 +428,15 @@ def connected_components_csr(
     bkey_arr = np.full(k, -1, dtype=np.int64)
     for b, bk_ in bkey_of.items():
         bkey_arr[b] = bk_
+    missing = np.flatnonzero(bkey_arr < 0)
+    if len(missing):
+        # a partial mapping aliases absent blocks onto the -1 sentinel and
+        # merge_min would silently drop all but one collided state row
+        raise ValueError(
+            f"blocks table is missing rows for blocks {missing[:8].tolist()}"
+            f"{'...' if len(missing) > 8 else ''} of {k}; rebuild it with "
+            "build_minlabel_blocks (which emits a row for every block)"
+        )
 
     # initial labels = own ids; ids of block b are b, b+k, b+2k, ... so the
     # state is generated directly per block — no join, no vertex scan
@@ -468,16 +499,25 @@ def connected_components_csr(
                     rows_b.append(int(bkey_arr[ob]))
                     rows_p.append(dst_pos[s:e][live])
                     rows_m.append(mins[s:e][live])
+        # dtype=object even when empty: a bare [] infers float64 and Arrow
+        # refuses the float64 -> list<int32> column conversion
         return pd.DataFrame(
             {
                 "bkey_out": pd.Series(rows_b, dtype="int32"),
-                "dst_pos": rows_p,
-                "mins": rows_m,
+                "dst_pos": pd.Series(rows_p, dtype=object),
+                "mins": pd.Series(rows_m, dtype=object),
             }
         )
 
     def merge_min(key, left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
-        # key is the balanced bkey; the true block number rides the state
+        # key is the balanced bkey; the true block number rides the state.
+        # bkeys are distinct per block (total mapping, checked above), so
+        # exactly one state row per group — anything else is a kernel bug
+        # and must fail loudly, not fold to iloc[0] (ADVICE r3)
+        if len(left) != 1:
+            raise RuntimeError(
+                f"merge_min: {len(left)} state rows collided on bkey {key}"
+            )
         labels = np.asarray(left["labels"].iloc[0], dtype=np.int64)
         new = labels.copy()
         # positions are unique WITHIN one partial row (one min per dst per

@@ -184,14 +184,36 @@ def build_csr_blocks(graph: GraphTables, num_blocks: int) -> DataFrame:
     The cached plan ends in a hash exchange on ``block``, so downstream
     cogroups see HashPartitioning(block, P) on this side and shuffle only
     the (small) state — the edge arrays are moved exactly once, here.
+
+    The block -> bkey mapping this table carries is TOTAL: every block
+    0..K-1 gets exactly one row, with empty arrays when the block has no
+    out-edges (all-dangling residue classes, or K > n). A partial mapping
+    let edge-less blocks share the -1 sentinel downstream, silently merging
+    their state rows in the per-iteration cogroups (ADVICE r3, high).
+    Totality costs K sentinel rows through the one-time build shuffle.
     """
     k = num_blocks
     spark = graph.edges.sparkSession
     p = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     bkeys = balanced_block_keys(k, p)
 
-    def to_block(pdf: pd.DataFrame) -> pd.DataFrame:
-        block = int(pdf["block"].iloc[0])
+    def to_block(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        block = int(key[0])
+        pdf = pdf[pdf["weight"].notna()]
+        if len(pdf) == 0:
+            # edge-less block: present so the bkey mapping stays total
+            return pd.DataFrame(
+                {
+                    "block": [block],
+                    "bkey": [bkeys[block]],
+                    "src_pos": [np.empty(0, dtype=np.int32)],
+                    "weight": [np.empty(0, dtype=np.float64)],
+                    "starts": [np.empty(0, dtype=np.int32)],
+                    "dst_pos": [np.empty(0, dtype=np.int32)],
+                    "out_ptr": [np.zeros(k + 1, dtype=np.int32)],
+                    "k": [k],
+                }
+            )
         src = pdf["src_id"].to_numpy(np.int64)
         dst = pdf["dst_id"].to_numpy(np.int64)
         w = pdf["weight"].to_numpy(np.float64)
@@ -228,8 +250,17 @@ def build_csr_blocks(graph: GraphTables, num_blocks: int) -> DataFrame:
             }
         )
 
+    # one null-weight sentinel per block guarantees every block id forms a
+    # group, so to_block emits a (possibly empty) row for all K blocks
+    sentinels = spark.range(k).select(
+        F.col("id").alias("src_id"),
+        F.col("id").alias("dst_id"),
+        F.lit(None).cast("double").alias("weight"),
+    )
     blocks = (
-        graph.edges.withColumn(
+        graph.edges.select("src_id", "dst_id", "weight")
+        .unionAll(sentinels)
+        .withColumn(
             "block", F.pmod(F.col("src_id"), F.lit(k)).cast("int")
         )
         .groupBy("block")
@@ -373,6 +404,15 @@ def pagerank_csr(
     bkey_arr = np.full(k, -1, dtype=np.int64)
     for r in blocks.select("block", "bkey").collect():
         bkey_arr[r["block"]] = r["bkey"]
+    missing = np.flatnonzero(bkey_arr < 0)
+    if len(missing):
+        # a partial mapping would alias every absent block onto the -1
+        # sentinel and silently merge their state rows in the cogroups
+        raise ValueError(
+            f"blocks table is missing rows for blocks {missing[:8].tolist()}"
+            f"{'...' if len(missing) > 8 else ''} of {k}; rebuild it with "
+            "build_csr_blocks (which emits a row for every block)"
+        )
 
     x0_val = 1.0 / math.sqrt(n)
     start_iter = 0
@@ -404,6 +444,12 @@ def pagerank_csr(
                  "dst_pos": pd.Series([], dtype=object),
                  "contribs": pd.Series([], dtype=object),
                  "dang_part": pd.Series([], dtype="float64")}
+            )
+        if len(right) > 1:
+            # bkeys are distinct per block (total mapping, checked at
+            # kernel entry) — collided state rows mean silent data loss
+            raise RuntimeError(
+                f"spmv: {len(right)} state rows collided on bkey {key}"
             )
         dang_part = float(right["dang_sum"].iloc[0])
         empty_i = np.empty(0, dtype=np.int32)
@@ -454,6 +500,10 @@ def pagerank_csr(
                      ["int32", "int32", object, object, object,
                       "float64", "float64"],
                  )}
+            )
+        if len(left) > 1:
+            raise RuntimeError(
+                f"merge: {len(left)} state rows collided on bkey {key}"
             )
         x_old = np.asarray(left["xs"].iloc[0], dtype=np.float64)
         dang_idx = np.asarray(left["dang_idx"].iloc[0], dtype=np.int32)
