@@ -68,6 +68,7 @@ def _pr_oracle_sql(
     iters: int = 3,
     epsilon: float | None = None,
     limit: int | None = None,
+    normalize: bool = False,
 ) -> str:
     """Unrolled power-method iterations with exact reference numerics
     (q -> L1 -> L2-normalized v per ws_pagerank.py:115-139; dangling beta
@@ -84,6 +85,13 @@ def _pr_oracle_sql(
     semantics do NOT renormalize x between iterations while v is
     L2-normalized, so total mass can GROW; at the contract SF the iterate
     diverges and the converged query is exactly the full-budget unroll.)
+
+    ``normalize`` L2-normalizes the SELECTED iterate before rounding.
+    PageRank scores are defined up to scale (SURVEY §1.3.5), and a long
+    diverging unroll amplifies float64 accumulation-order differences
+    between Spark and DuckDB past an absolute ROUND(x, 6) — dividing by
+    ||x||_2 makes the compared quantity scale-stable so only relative
+    (ulp-level) error remains (VERDICT r3 item 1).
     """
     # MATERIALIZED: each iterate is referenced several times (next step's
     # beta + contribution join, residual, final union); without the hint
@@ -115,8 +123,19 @@ def _pr_oracle_sql(
             SELECT sqrt(SUM((a.x - b.x) * (a.x - b.x))) AS r
             FROM x{i} a JOIN {prev} b ON a.url = b.url
         )""")
+    if normalize:
+        score = "ROUND(x / (SELECT nrm FROM fnorm), 6)"
+    else:
+        score = "ROUND(x, 6)"
     if epsilon is None:
-        tail = f"SELECT url, ROUND(x, 6) AS score FROM x{iters}"
+        fin = f", fin AS (SELECT url, x FROM x{iters})" if normalize else ""
+        src = "fin" if normalize else f"x{iters}"
+        fnorm = (
+            ", fnorm AS (SELECT sqrt(SUM(x * x)) AS nrm FROM fin)"
+            if normalize
+            else ""
+        )
+        tail = f"{fin}{fnorm}\nSELECT url, {score} AS score FROM {src}"
     else:
         all_x = " UNION ALL ".join(
             f"SELECT {i} AS it, url, x FROM x{i}" for i in range(1, iters + 1)
@@ -125,6 +144,11 @@ def _pr_oracle_sql(
             f"SELECT {i} AS it, (SELECT r FROM r{i}) AS r"
             for i in range(1, iters + 1)
         )
+        fnorm = (
+            ",\n        fnorm AS (SELECT sqrt(SUM(x * x)) AS nrm FROM fin)"
+            if normalize
+            else ""
+        )
         tail = f"""
         , all_x AS ({all_x}),
         all_r AS ({all_r}),
@@ -132,9 +156,11 @@ def _pr_oracle_sql(
             SELECT COALESCE(
                 (SELECT MIN(it) FROM all_r WHERE r < {epsilon!r}), {iters}
             ) AS it
-        )
-        SELECT url, ROUND(x, 6) AS score FROM all_x
-        WHERE it = (SELECT it FROM pick)
+        ),
+        fin AS (
+            SELECT url, x FROM all_x WHERE it = (SELECT it FROM pick)
+        ){fnorm}
+        SELECT url, {score} AS score FROM fin
         """
     order = "\nORDER BY score DESC, url"
     if limit is not None:
@@ -382,14 +408,24 @@ def q_pagerank_personalized_3iter(spark: SparkSession, sf_dir: str) -> DataFrame
 def q_pagerank_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full converged PageRank incl. the epsilon-stop rule; oracle-checked
     against a 100-step unrolled DuckDB chain with first-converged-iterate
-    selection (VERDICT r2 item 4 closed the last iterative `no_oracle`)."""
+    selection (VERDICT r2 item 4 closed the last iterative `no_oracle`).
+
+    The comparison is over the L2-NORMALIZED final iterate: scores are
+    defined up to scale (SURVEY §1.3.5) and the iterate diverges at this
+    SF, so comparing raw magnitudes at 100 steps amplifies float64
+    summation-order drift between engines past an absolute ROUND(x, 6)
+    (VERDICT r3 item 1). The oracle normalizes identically."""
     from web_search_pagerank_project_spark import build_graph, pagerank
 
     graph = build_graph(_edges(spark, sf_dir), cache=True)
     res = pagerank(graph, max_iterations=100, epsilon=1e-6)
+    ranks = res.by_url(graph)
+    norm = ranks.agg(
+        F.sqrt(F.sum(F.col("rank") * F.col("rank"))).alias("_nrm")
+    )
     return (
-        res.by_url(graph)
-        .select("url", F.round("rank", 6).alias("score"))
+        ranks.crossJoin(F.broadcast(norm))  # 1-row scalar, not a real cross
+        .select("url", F.round(F.col("rank") / F.col("_nrm"), 6).alias("score"))
         .orderBy(F.desc("score"), F.asc("url"))
         .limit(50)
     )
@@ -817,8 +853,12 @@ def oracle_sql() -> dict[str, str]:
         # item 4): 100 unrolled iterations + first-converged-iterate pick;
         # at this SF the iterate diverges (see _pr_oracle_sql docstring) so
         # the selected iterate is x100 — same as the engine's.
+        # normalize=True: the compared quantity is the L2-normalized final
+        # iterate — scale-stable, so the 100-step divergence can no longer
+        # amplify Spark-vs-DuckDB summation-order drift past ROUND(x, 6)
+        # (VERDICT r3 item 1; scores are defined up to scale, SURVEY §1.3.5)
         "pagerank_converged": _pr_oracle_sql(
-            "1.0", iters=100, epsilon=1e-6, limit=50
+            "1.0", iters=100, epsilon=1e-6, limit=50, normalize=True
         ),
         "url_search": f"""
         WITH e AS ({_EDGES_SQL}),
