@@ -130,10 +130,23 @@ def run_benchmarks(spark):
     _warmup(spark)
     headline_t0 = time.monotonic()
 
-    def timed(name, fn):
-        t0 = time.monotonic()
-        out = fn()
-        timings[name] = round(time.monotonic() - t0, 3)
+    # min-of-N (VERDICT r3 item 3): a single-shot headline on a shared host
+    # recorded 5 regressed lines in one round while the quiet-host protocol
+    # numbers said otherwise — the artifact now uses the same min-of-warm
+    # discipline the scaling levels already do, so BENCH_r{N}.json and
+    # BENCH/BASELINE.md can't disagree about host noise again.
+    repeats = int(os.environ.get("WSPR_BENCH_REPEATS", "3"))
+
+    def timed(name, fn, cleanup=None):
+        best = float("inf")
+        out = None
+        for i in range(repeats):
+            if i and cleanup is not None:
+                cleanup(out)
+            t0 = time.monotonic()
+            out = fn()
+            best = min(best, time.monotonic() - t0)
+        timings[name] = round(best, 3)
         return out
 
     # graph build once; synthetic-data generation and the actual
@@ -148,8 +161,13 @@ def run_benchmarks(spark):
         lambda: synth_edges(
             spark, n_vertices=N_VERTS, n_edges=N_EDGES, seed=42, zipf_a=1.5
         ).localCheckpoint(eager=True),
+        cleanup=lambda df: df.unpersist(),
     )
-    graph = timed("graph_build_core", lambda: build_graph(raw_edges, cache=True))
+    graph = timed(
+        "graph_build_core",
+        lambda: build_graph(raw_edges, cache=True),
+        cleanup=lambda g: g.unpersist(),
+    )
     timings["graph_build"] = round(
         timings["synth_gen"] + timings["graph_build_core"], 3
     )
@@ -222,7 +240,15 @@ def run_benchmarks(spark):
     timed("ann", lambda: brute_force_topk(emb, [float(x) for x in qv], k=10).collect())
 
     graph.unpersist()
-    headline_wall = round(time.monotonic() - headline_t0, 3)
+    # headline value = sum of per-query min walls (graph_build is already
+    # the synth+core sum, so it is excluded from the total). The raw wall
+    # of the whole repeated run goes to detail; comparing THAT across
+    # rounds would conflate the repeat count with engine speed.
+    headline_total = round(
+        sum(v for k, v in timings.items() if k != "graph_build"), 3
+    )
+    detail["bench_repeats"] = repeats
+    detail["wall_with_repeats"] = round(time.monotonic() - headline_t0, 3)
 
     # one 10x-reference-scale row (20M edges ~= 12.4x the reference's 1.6M):
     # VERDICT r2 item 3 — at sf0.1 the fixed per-stage driver latency
@@ -257,7 +283,7 @@ def run_benchmarks(spark):
         }
         g1.unpersist()
 
-    return timings, detail, headline_wall
+    return timings, detail, headline_total
 
 
 SCALE_N = int(os.environ.get("WSPR_SCALE_CORES", "2"))  # N; 4N is 4*this
