@@ -370,14 +370,26 @@ def ensure_staged(edges: int, verts: int) -> str:
 
 
 def scale_level_run(
-    cores: int, edges: int, verts: int, blocks_k: int, cc_blocks_k: int
+    cores: int, edges: int, verts: int, blocks_k: int, cc_blocks_k: int,
+    mode: str = "pr",
 ) -> None:
     """One scaling level: local[cores] measurements on the staged
-    (edges, verts) graph packed into blocks_k CSR blocks; ONE JSON line out.
+    (edges, verts) graph; ONE JSON line out.
 
     Invoked by scaling_run as a subprocess under ``taskset -c 0-(cores-1)``
     so the core budget is enforced at the OS level for the whole process
     tree (JVM threads + forked python workers).
+
+    mode="pr" measures both PageRank kernels; mode="cc" measures CC in a
+    process of its own. They used to share one session (CC after PR, with
+    the PR working set unpersisted + System.gc between them) — and the CC
+    measurement was still ~2x slower at the 4N level than a fresh session
+    (24.2 s vs 12.7 s at 240M edges, round-4 probe): a JVM whose heap grew
+    an 80-block 240M-edge PR working set keeps paying GC/fragmentation tax
+    after unpersist, and the tax scales with the level, which is exactly
+    what a scaling ratio cannot tolerate. The committed weak-CC 0.51 of
+    rounds 2-3 was THIS session-pollution artifact, not kernel behavior.
+    One process per kernel family makes every measurement first-in-JVM.
     """
     os.environ.setdefault("WSPR_DRIVER_MEM", "48g")
     stage_dir = _stage_dir_for(edges, verts)
@@ -407,93 +419,89 @@ def scale_level_run(
         # kernel now pins SHUFFLE_HASH joins that the static planner
         # honors without stats. See pagerank.py module doc.)
         spark.conf.set("spark.sql.adaptive.enabled", "false")
-        blocks = build_csr_blocks(graph, blocks_k)
-        pagerank_csr(
-            graph, max_iterations=1, epsilon=0.0, blocks=blocks,
-        )  # warmup
-        # min-of-REPEATS: the host is a VM; single local[N] runs jitter
-        # by 2x run-to-run, and min is the standard noise-robust
-        # statistic for a fixed-work benchmark
-        pr_wall = float("inf")
-        for _ in range(SCALE_REPEATS):
-            t0 = time.monotonic()
-            res = pagerank_csr(
-                graph, max_iterations=SCALE_ITERS, epsilon=1e-6,
-                blocks=blocks, iters_per_action=SCALE_IPA,
+        out = {"cores": cores, "edges": edges, "verts": verts,
+               "blocks": blocks_k}
+        if mode == "pr":
+            blocks = build_csr_blocks(graph, blocks_k)
+            pagerank_csr(
+                graph, max_iterations=1, epsilon=0.0, blocks=blocks,
+            )  # warmup
+            # min-of-REPEATS: the host is a VM; single local[N] runs jitter
+            # by 2x run-to-run, and min is the standard noise-robust
+            # statistic for a fixed-work benchmark
+            pr_wall = float("inf")
+            for _ in range(SCALE_REPEATS):
+                t0 = time.monotonic()
+                res = pagerank_csr(
+                    graph, max_iterations=SCALE_ITERS, epsilon=1e-6,
+                    blocks=blocks, iters_per_action=SCALE_IPA,
+                )
+                pr_wall = min(pr_wall, time.monotonic() - t0)
+            # DataFrame kernel (semantic-primary path)
+            pagerank(graph, max_iterations=1, epsilon=0.0)  # warmup
+            prdf_wall = float("inf")
+            for _ in range(SCALE_REPEATS):
+                t0 = time.monotonic()
+                res_df = pagerank(
+                    graph, max_iterations=SCALE_ITERS, epsilon=1e-6,
+                    iters_per_action=SCALE_IPA,
+                )
+                prdf_wall = min(prdf_wall, time.monotonic() - t0)
+            out.update({
+                "pr_wall": pr_wall,
+                "pr_iters": res.iterations,
+                "iters_per_hour": res.iterations / pr_wall * 3600,
+                "edges_per_sec": res.iterations * edges / pr_wall,
+                "prdf_wall": prdf_wall,
+                "prdf_iters_per_hour": res_df.iterations / prdf_wall * 3600,
+            })
+            blocks.unpersist()
+        elif mode == "cc":
+            # CC: fixed DENSE min-label rounds (frontier=False: every round
+            # sends every label, so a fixed round count is fixed WORK —
+            # frontier volume depends on where the particular graph
+            # converges) over pre-staged symmetric edges; the block build
+            # is untimed setup (same discipline as the staged graph
+            # build). CC uses its OWN block count, FIXED across levels
+            # (default 16): min-label's per-destination fan-in is one
+            # min-array per source block, so its dense-round shuffle
+            # volume is min(K*V, ~E) — growing K with the level multiplies
+            # per-core volume until K*V saturates at E. The 10^12-edge
+            # target regime is edge-saturated for any practical K
+            # (per-core volume E/cores = constant); fixed K mirrors that
+            # constant-fan-in property at test scale.
+            sym = spark.read.parquet(f"{stage_dir}/sym_edges")
+            cc_blocks = build_minlabel_blocks(
+                graph, cc_blocks_k, symmetric_edges=sym
             )
-            pr_wall = min(pr_wall, time.monotonic() - t0)
-        # DataFrame kernel (semantic-primary path; heavier parallel work)
-        pagerank(graph, max_iterations=1, epsilon=0.0)  # warmup
-        prdf_wall = float("inf")
-        for _ in range(SCALE_REPEATS):
-            t0 = time.monotonic()
-            res_df = pagerank(
-                graph, max_iterations=SCALE_ITERS, epsilon=1e-6,
-                iters_per_action=SCALE_IPA,
-            )
-            prdf_wall = min(prdf_wall, time.monotonic() - t0)
-        # CC: fixed min-label rounds over pre-staged symmetric edges;
-        # the block build is untimed setup (same discipline as the
-        # PageRank blocks / the staged graph build). CC uses its OWN block
-        # count, FIXED across levels (default 16): the per-destination
-        # partial fan-in of min-label propagation is one min-array per
-        # source block, so its dense-round shuffle volume is
-        # min(K*V, ~E) — growing K with the level multiplies volume by
-        # K until K*V reaches E. The 10^12-edge target regime is
-        # edge-saturated (K*V >> E for any practical K), where per-core
-        # volume is E/cores = constant; holding K fixed puts both test
-        # levels in a constant-fan-in regime that mirrors that property
-        # instead of the unsaturated mid-scale artifact (measured: K
-        # growing 20->80 with the level weak-scales at 0.71, fixed K=16
-        # at 0.97 with a FASTER absolute high level).
-        spark.conf.set("spark.sql.adaptive.enabled", "false")
-        # the PageRank working set (80-block CSR arrays + the cached edge
-        # table, ~10 GB at 240M edges) is dead weight for CC (which reads
-        # its own staged sym edges and needs graph only for n); leaving it
-        # resident measured CC at 38 s where a fresh session runs 16 s —
-        # heap-pressure bleed between measurements, not CC cost
-        blocks.unpersist(blocking=True)
-        graph.edges.unpersist(blocking=True)
-        spark.sparkContext._jvm.System.gc()
-        sym = spark.read.parquet(f"{stage_dir}/sym_edges")
-        cc_blocks = build_minlabel_blocks(
-            graph, cc_blocks_k, symmetric_edges=sym
-        )
-        connected_components_csr(
-            graph, max_rounds=1, blocks=cc_blocks, raise_on_cap=False
-        )  # warmup
-        cc_wall = float("inf")
-        for _ in range(SCALE_REPEATS):
-            t0 = time.monotonic()
             connected_components_csr(
-                graph,
-                max_rounds=SCALE_CC_ROUNDS,
-                blocks=cc_blocks,
-                rounds_per_action=SCALE_CC_ROUNDS,
-                raise_on_cap=False,
-            ).count()
-            cc_wall = min(cc_wall, time.monotonic() - t0)
-        print(json.dumps({
-            "cores": cores,
-            "edges": edges,
-            "verts": verts,
-            "blocks": blocks_k,
-            "pr_wall": pr_wall,
-            "pr_iters": res.iterations,
-            "iters_per_hour": res.iterations / pr_wall * 3600,
-            "edges_per_sec": res.iterations * edges / pr_wall,
-            "prdf_wall": prdf_wall,
-            "prdf_iters_per_hour": res_df.iterations / prdf_wall * 3600,
-            "cc_wall": cc_wall,
-        }))
-        blocks.unpersist()
+                graph, max_rounds=1, blocks=cc_blocks, raise_on_cap=False,
+                frontier=False,
+            )  # warmup
+            cc_wall = float("inf")
+            for _ in range(SCALE_REPEATS):
+                t0 = time.monotonic()
+                connected_components_csr(
+                    graph,
+                    max_rounds=SCALE_CC_ROUNDS,
+                    blocks=cc_blocks,
+                    rounds_per_action=SCALE_CC_ROUNDS,
+                    raise_on_cap=False,
+                    frontier=False,
+                ).count()
+                cc_wall = min(cc_wall, time.monotonic() - t0)
+            out["cc_wall"] = cc_wall
+        else:
+            raise ValueError(f"unknown scale mode {mode!r}")
+        print(json.dumps(out))
         graph.unpersist()
     finally:
         spark.stop()
 
 
 def _run_one_pinned_session(
-    cores: int, edges: int, verts: int, blocks_k: int, cc_blocks_k: int
+    cores: int, edges: int, verts: int, blocks_k: int, cc_blocks_k: int,
+    mode: str,
 ) -> dict:
     import shutil
     import subprocess
@@ -501,7 +509,7 @@ def _run_one_pinned_session(
     cmd = [
         sys.executable, os.path.abspath(__file__),
         "--scale-level", str(cores), str(edges), str(verts), str(blocks_k),
-        str(cc_blocks_k),
+        str(cc_blocks_k), mode,
     ]
     if shutil.which("taskset") is not None:
         cmd = ["taskset", "-c", f"0-{cores - 1}"] + cmd
@@ -512,7 +520,9 @@ def _run_one_pinned_session(
     line = [l for l in proc.stdout.splitlines() if l.startswith("{")]
     if proc.returncode != 0 or not line:
         sys.stderr.write(proc.stderr[-2000:])
-        raise RuntimeError(f"scale level cores={cores} edges={edges} failed")
+        raise RuntimeError(
+            f"scale level cores={cores} edges={edges} mode={mode} failed"
+        )
     return json.loads(line[-1])
 
 
@@ -520,13 +530,18 @@ def _run_pinned_level(
     cores: int, edges: int, verts: int, blocks_k: int, cc_blocks_k: int
 ) -> dict:
     """min across SCALE_SESSIONS fresh JVM sessions of the per-session
-    min-of-repeats. Within one session repeats spread only ~4%, but two
-    sessions of identical work measured 23% apart (JVM heap placement /
-    JIT-profile luck is decided once per process) — min-of-sessions
-    extends the same noise-robust statistic one granularity up."""
+    min-of-repeats, with PageRank and CC in SEPARATE processes (see
+    scale_level_run: an in-session predecessor's heap history taxed the
+    4N level's CC by ~2x). Within one session repeats spread only ~4%,
+    but two sessions of identical work measured 23% apart (JVM heap
+    placement / JIT-profile luck is decided once per process) —
+    min-of-sessions extends the same noise-robust statistic one
+    granularity up."""
     out = None
     for _ in range(SCALE_SESSIONS):
-        r = _run_one_pinned_session(cores, edges, verts, blocks_k, cc_blocks_k)
+        r = _run_one_pinned_session(
+            cores, edges, verts, blocks_k, cc_blocks_k, "pr"
+        )
         if out is None:
             out = r
             continue
@@ -536,7 +551,12 @@ def _run_pinned_level(
         if r["prdf_wall"] < out["prdf_wall"]:
             out["prdf_wall"] = r["prdf_wall"]
             out["prdf_iters_per_hour"] = r["prdf_iters_per_hour"]
-        out["cc_wall"] = min(out["cc_wall"], r["cc_wall"])
+    out["cc_wall"] = min(
+        _run_one_pinned_session(
+            cores, edges, verts, blocks_k, cc_blocks_k, "cc"
+        )["cc_wall"]
+        for _ in range(SCALE_SESSIONS)
+    )
     return out
 
 
@@ -613,6 +633,7 @@ def scaling_run() -> None:
             "repeats": SCALE_REPEATS, "ipa": SCALE_IPA,
             "blocks": big_blocks, "weak_blocks": weak_blocks,
             "cc_blocks": SCALE_CC_BLOCKS, "sessions": SCALE_SESSIONS,
+            "cc_dense_rounds": True, "cc_own_process": True,
         },
     }
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
@@ -699,10 +720,20 @@ across {p.get('sessions', 1)} fresh JVM sessions per level — identical
 work in two sessions measured 23% apart, JVM heap-placement/JIT luck
 being decided once per process); the CSR kernel fuses
 {p['ipa']} iterations per Spark action (identical numerics, driver
-latency amortized). CC: {p['cc_rounds']} min-label rounds (fixed) over
-the CSR min-label kernel, all rounds in one action, x {p['repeats']}
-repeats min; symmetrized edges and block packing are staged setup, not
-the scaled metric (same discipline as the graph build itself). CC
+latency amortized). CC: {p['cc_rounds']} DENSE min-label rounds (fixed;
+frontier masking disabled for the scaled metric — dense-round volume is
+a pure function of (K, V, E), so a fixed round count is fixed WORK at
+every level, where frontier volume depends on where the particular
+input graph happens to converge) over the CSR min-label kernel, all
+rounds in one action, x {p['repeats']} repeats min; symmetrized edges
+and block packing are staged setup, not the scaled metric (same
+discipline as the graph build itself). CC runs in its OWN pinned
+process, separate from the PageRank measurements: a JVM whose heap had
+hosted the 4N level's PR working set still ran CC ~2x slower after
+unpersist + System.gc (24.2 s vs 12.7 s fresh at 240M edges, round-4
+probe) — a GC/fragmentation tax that grows with the level and therefore
+poisons a scaling ratio (the round-2/3 weak-CC numbers, 0.39-1.03 noisy
+and 0.51 committed, were this artifact). CC
 blocks are FIXED at {p.get('cc_blocks', p['blocks'])} for BOTH levels:
 min-label's per-destination fan-in is one min-array per source block, so
 its dense-round volume is min(K*V, ~E) — growing K with the level
@@ -776,6 +807,7 @@ def main() -> None:
             int(sys.argv[i + 1]), int(sys.argv[i + 2]),
             int(sys.argv[i + 3]), int(sys.argv[i + 4]),
             int(sys.argv[i + 5]),
+            sys.argv[i + 6] if len(sys.argv) > i + 6 else "pr",
         )
         return
     if "--scaling" in sys.argv:

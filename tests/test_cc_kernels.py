@@ -58,6 +58,11 @@ def test_kernels_match_on_random_graph(spark):
     assert _labels(
         connected_components_csr(graph, num_blocks=8, rounds_per_action=4)
     ) == base
+    # dense rounds (frontier masking off — the scaling protocol's
+    # fixed-work mode) reach the identical fixed point
+    assert _labels(
+        connected_components_csr(graph, num_blocks=8, frontier=False)
+    ) == base
     graph.unpersist()
 
 

@@ -162,3 +162,43 @@ def test_label_propagation_matches_oracle_one_round(spark):
     for url in expected:
         assert got[url] == v[expected[url]], url
     graph.unpersist()
+
+
+def test_triangle_wedge_join_skew_bound(spark):
+    """VERDICT r3 item 7: the degree-ordered orientation must bound the
+    wedge join's per-key fan-out (= oriented out-degree) by ~sqrt(2m) even
+    on an adversarial near-clique-plus-mega-hub graph where one RAW degree
+    is ~10x sqrt(m)."""
+    import math
+
+    import pyspark.sql.functions as F
+
+    from web_search_pagerank_project_spark.operators.triangles import (
+        _oriented_edges,
+        triangles_per_vertex,
+    )
+
+    k, leaves = 30, 500
+    rows = [(f"v{i:04d}", f"v{j:04d}") for i in range(k) for j in range(i + 1, k)]
+    rows += [("v0000", f"leaf{t:04d}") for t in range(leaves)]  # hub deg 529
+    graph = build(spark, rows)
+    m = len(rows)
+
+    oriented = _oriented_edges(graph, 8)
+    max_out = (
+        oriented.groupBy("a").agg(F.count("*").alias("d"))
+        .agg(F.max("d")).first()[0]
+    )
+    oriented.unpersist()
+    assert max_out <= int(math.sqrt(2 * m)) + 1, max_out  # 30 vs raw 529
+
+    assert triangle_count(graph) == math.comb(k, 3)
+    vurl = {r["id"]: r["url"] for r in graph.vertices.collect()}
+    tpv = {
+        vurl[r["id"]]: r["triangles"]
+        for r in triangles_per_vertex(graph).collect()
+    }
+    for i in range(k):
+        assert tpv[f"v{i:04d}"] == math.comb(k - 1, 2)
+    assert tpv["leaf0000"] == 0
+    graph.unpersist()

@@ -224,3 +224,79 @@ def test_pipeline_synonyms_file_end_to_end(spark, tmp_path):
     # re-scoring applied: rankings of covid urls carry sim**50 weight > 0
     scored = {r["url"]: r["ranking"] for r in out}
     assert scored["covid-news"] > 0
+
+
+def test_synonym_golden_transcript_order_change(spark, tmp_path, caplog):
+    """VERDICT r3 item 5: end-to-end synonym golden against the committed
+    50-word word2vec fixture (tests/fixtures/w2v_50words.txt), checking
+    ws_pagerank.py:196-225 semantics with hand-computed expected rankings:
+
+      * expansion of "corona" = most_similar top-5, SELF-EXCLUDED —
+        [covid 0.8, virus 0.6, <three sim-0.0 fillers>] (cosines exact by
+        fixture construction);
+      * ranking(url) = pagerank(url) * sum count(word, url) * sim**50 —
+        a url matching ONLY the literal query term scores 0 and sinks;
+      * so sim**50 rescoring CHANGES the order vs plain PageRank;
+      * the result log reproduces the ws transcript SHAPE
+        ``rank=i pagerank=<e-notation> url=...``.
+    """
+    import gzip
+    import logging
+    import os
+    import re
+
+    from oracle import pagerank_by_url
+
+    from web_search_pagerank_project_spark.functions.synonyms import WordVectors
+    from web_search_pagerank_project_spark.plans.pipeline import run_pipeline
+
+    fixture = os.path.join(os.path.dirname(__file__), "fixtures", "w2v_50words.txt")
+
+    # pinned expansion: exact cosines from the committed fixture
+    wv = WordVectors.load(fixture)
+    top5 = wv.most_similar("corona", topn=5)
+    assert [w for w, _ in top5[:2]] == ["covid", "virus"]
+    assert abs(top5[0][1] - 0.8) < 1e-12 and abs(top5[1][1] - 0.6) < 1e-12
+    assert all(abs(s) < 1e-12 for _, s in top5[2:])  # orthogonal fillers
+
+    rows = [
+        ("badger-den", "corona-hq"),
+        ("covid-lab", "corona-hq"),
+        ("virus-wire", "corona-hq"),
+        ("corona-hq", "covid-lab"),
+    ]
+    data = str(tmp_path / "edges.csv.gz")
+    with gzip.open(data, "wt") as f:
+        f.write("source,target\n")
+        for s, t in rows:
+            f.write(f"{s},{t}\n")
+
+    pr = pagerank_by_url(rows, max_iterations=100, epsilon=1e-6)
+    # plain PageRank order among the three matching urls
+    plain_order = sorted(
+        ["corona-hq", "covid-lab", "virus-wire"], key=lambda u: -pr[u]
+    )
+    assert plain_order[0] == "corona-hq"  # 3 in-links
+
+    with caplog.at_level(logging.INFO, logger="wspr.engine"):
+        out = run_pipeline(
+            spark, data=data, search_query="corona",
+            max_iterations=100, synonyms_file=fixture,
+        ).collect()
+
+    got_order = [r["url"] for r in out]
+    scored = {r["url"]: r["ranking"] for r in out}
+    # hand-computed: ranking = pr * count * sim**50 (count = 1 everywhere)
+    assert np.isclose(scored["covid-lab"], pr["covid-lab"] * 0.8**50, rtol=1e-9)
+    assert np.isclose(scored["virus-wire"], pr["virus-wire"] * 0.6**50, rtol=1e-9)
+    assert scored["corona-hq"] == 0.0  # literal-term-only match scores 0
+    assert got_order == ["covid-lab", "virus-wire", "corona-hq"]
+    assert got_order != plain_order  # rescoring changed the order
+
+    lines = [m for m in caplog.messages if m.startswith("rank=")]
+    assert len(lines) == 3
+    shape = re.compile(r"^rank=\d+ pagerank=\d\.\d{4}e[+-]\d{2} url=\S+$")
+    for i, line in enumerate(lines):
+        assert shape.match(line), line
+        assert line.startswith(f"rank={i} ")
+    assert lines[0].endswith("url=covid-lab")

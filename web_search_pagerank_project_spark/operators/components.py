@@ -95,8 +95,16 @@ def connected_components(
         sym = _symmetrized(graph, num_partitions)
 
     # labels stay hash(id, P)-partitioned across rounds (plain localCheckpoint
-    # preserves outputPartitioning; the round plan's Aggregate clamps the
-    # inherited-stats squaring, see lineage.py). SHUFFLE_HASH hints keep the
+    # preserves outputPartitioning — cut_lineage would NOT, its rebuilt
+    # LogicalRDD loses the partitioning and every round would re-shuffle).
+    # Inherited-stats growth is safe here empirically, not by clamping: the
+    # size-only visitor clamps only EMPTY-grouping aggregates, and this
+    # round's groupBy(dst_id) does not clamp — but measured sizeInBytes
+    # bit-length grows LINEARLY (~9 bits/round on pyspark 4.1.2), never
+    # doubles, so BigInt cost stays negligible for any practical round
+    # count. If a plan change ever makes the bit-length double per round
+    # (the lineage.py squaring pathology), restore a stats reset that also
+    # keeps partitioning. SHUFFLE_HASH hints keep the
     # O(V) label table off the driver: a broadcast hash-relation of the
     # labels is built serially on the driver and grows with V — the same
     # scale bug fixed in pagerank.py (weak-scaled 0.54 before the hint).
@@ -395,6 +403,7 @@ def connected_components_csr(
     rounds_per_action: int = 1,
     raise_on_cap: bool = True,
     verbose: bool = False,
+    frontier: bool = True,
 ) -> DataFrame:
     """Min-label propagation over per-block arrays (throughput kernel).
 
@@ -403,6 +412,14 @@ def connected_components_csr(
     action — rounds have no cross-round driver dependency (unlike
     PageRank's β), so batching only coarsens the convergence check: up to
     ``rounds_per_action - 1`` no-op rounds may run past the fixed point.
+
+    ``frontier=False`` disables the changed-vertex masking: every round
+    sends every label (identical output — dense rounds are the textbook
+    min-propagation step — but strictly more work on converged regions).
+    The scaling protocol uses this: dense-round volume is a pure function
+    of (K, V, E), so a fixed round count is fixed WORK at every level,
+    whereas frontier volume depends on where the input graph happens to
+    converge, which differs between the two weak-scaling graphs.
     """
     spark = graph.edges.sparkSession
     n = graph.n
@@ -528,14 +545,17 @@ def connected_components_csr(
             pos = np.asarray(p, dtype=np.int32)
             mn = np.asarray(m, dtype=np.int64)
             new[pos] = np.minimum(new[pos], mn)
-        mask = new != labels
+        diff = new != labels
+        # dense mode: keep every source in next round's send set; changed
+        # (the convergence signal) still counts true label changes
+        mask = diff if frontier else np.ones(len(new), dtype=bool)
         return pd.DataFrame(
             {
                 "block": [int(left["block"].iloc[0])],
                 "bkey": [int(key[0])],
                 "labels": [new],
                 "mask": [mask],
-                "changed": [int(mask.sum())],
+                "changed": [int(diff.sum())],
             }
         )
 

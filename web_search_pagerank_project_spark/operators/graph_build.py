@@ -111,7 +111,13 @@ def assign_dense_ids(
     #     instead of silently mis-assigning ids.
     # >2^33 rows per partition would overflow the record number; that is
     # 8.5e9 urls in one range partition — size num_partitions accordingly.
-    urls = urls.persist()
+    # persist only if the caller hasn't already: unpersisting a plan the
+    # caller persisted would drop THEIR cache as a side effect (ADVICE r3)
+    from pyspark import StorageLevel
+
+    owns_cache = urls.storageLevel == StorageLevel.NONE
+    if owns_cache:
+        urls = urls.persist()
     parts = (
         urls.repartitionByRange(num_partitions, "url")
         .sortWithinPartitions("url")
@@ -130,7 +136,8 @@ def assign_dense_ids(
     }
     # the collect above materialized the checkpoint; the sampler cache has
     # served both its passes and can go
-    urls.unpersist()
+    if owns_cache:
+        urls.unpersist()
     offsets, acc = {}, 0
     for pid in sorted(counts):
         offsets[pid] = acc

@@ -14,10 +14,16 @@ iteration from iteration ~18, identical under AQE on/off, eager on/off, and
 reliable ``checkpoint()`` — the jstack signature is
 ``BigInteger.multiplyToomCook3`` under ``SizeInBytesOnlyStatsPlanVisitor``.
 
-Plans that contain an Aggregate node between checkpoints are immune (the
-aggregate visitor clamps the estimate to one output row), which is why the
-pure-DataFrame PageRank loop never trips this. The CSR-block kernel's state
-plan (join -> cogroup pandas) has no aggregate, so it must reset stats.
+The size-only visitor clamps only EMPTY-grouping aggregates to one row;
+a grouped aggregate (e.g. the CC round's groupBy(dst_id)) does not clamp.
+The DataFrame loops stay safe empirically, not by clamping: their measured
+inherited sizeInBytes bit-length grows LINEARLY (~9 bits per round on
+pyspark 4.1.2) — the round plan multiplies the state estimate by bounded
+per-round factors instead of by a second copy of itself — so the BigInt
+work stays negligible at any practical round count. The CSR-block kernel's
+state plan (join -> cogroup pandas) references the previous state through
+BOTH cogroup children, which is what makes its estimate square (bit-length
+DOUBLE) per iteration, so it must reset stats.
 
 ``cut_lineage`` does localCheckpoint, then rebuilds the DataFrame directly
 from the checkpointed InternalRow RDD — dropping originStats/constraints so

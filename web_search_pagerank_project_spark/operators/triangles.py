@@ -54,18 +54,24 @@ def _oriented_edges(graph: GraphTables, num_partitions: int) -> DataFrame:
     return oriented.repartition(num_partitions, "a").persist()
 
 
+def _closed_wedges(oriented: DataFrame) -> DataFrame:
+    """(w_a, w_b, w_c) — one row per triangle: the wedge w_a->w_b, w_b->w_c
+    whose closing edge w_a->w_c exists in the oriented adjacency. The wedge
+    join's fan-out per join key is the ORIENTED out-degree, O(sqrt(m)) by
+    construction, so a raw-degree hub cannot become the last reducer."""
+    e1 = oriented.select(F.col("a").alias("w_a"), F.col("b").alias("w_b"))
+    e2 = oriented.select(F.col("a").alias("w_b2"), F.col("b").alias("w_c"))
+    wedges = e1.join(e2, F.col("w_b") == F.col("w_b2")).select("w_a", "w_b", "w_c")
+    closing = oriented.select(F.col("a").alias("w_a"), F.col("b").alias("w_c"))
+    return wedges.join(closing, ["w_a", "w_c"], "left_semi")
+
+
 def triangle_count(graph: GraphTables) -> int:
     """Total number of distinct undirected triangles in the graph."""
     spark = graph.edges.sparkSession
     num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     oriented = _oriented_edges(graph, num_partitions)
-
-    e1 = oriented.select(F.col("a").alias("w_a"), F.col("b").alias("w_b"))
-    e2 = oriented.select(F.col("a").alias("w_b2"), F.col("b").alias("w_c"))
-    wedges = e1.join(e2, F.col("w_b") == F.col("w_b2")).select("w_a", "w_b", "w_c")
-    closing = oriented.select(F.col("a").alias("w_a"), F.col("b").alias("w_c"))
-    tri = wedges.join(closing, ["w_a", "w_c"], "left_semi")
-    count = tri.count()
+    count = _closed_wedges(oriented).count()
     oriented.unpersist()
     return count
 
@@ -77,11 +83,7 @@ def triangles_per_vertex(graph: GraphTables) -> DataFrame:
     num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     oriented = _oriented_edges(graph, num_partitions)
 
-    e1 = oriented.select(F.col("a").alias("w_a"), F.col("b").alias("w_b"))
-    e2 = oriented.select(F.col("a").alias("w_b2"), F.col("b").alias("w_c"))
-    wedges = e1.join(e2, F.col("w_b") == F.col("w_b2")).select("w_a", "w_b", "w_c")
-    closing = oriented.select(F.col("a").alias("w_a"), F.col("b").alias("w_c"))
-    tris = wedges.join(closing, ["w_a", "w_c"], "left_semi")
+    tris = _closed_wedges(oriented)
     corners = (
         tris.select(F.col("w_a").alias("id"))
         .unionAll(tris.select(F.col("w_b").alias("id")))
