@@ -64,14 +64,18 @@ def test_query_matches_oracle(spark, ddb, name):
     pd.testing.assert_frame_equal(got, want, check_dtype=False, atol=1e-9)
 
 
-@pytest.mark.parametrize(
-    "name", [k for k in ALL_KEYS if k not in ORACLE_KEYS]
-)
-def test_rows_only_queries_run(spark, name):
-    q = entrymod.queries()[name]
-    df = q(spark, SF_DIR)
-    assert df.count() >= 0
-    assert len(df.schema.fields) > 0
+def test_every_query_has_an_oracle():
+    """Since round 3 every queries() entry has an oracle_sql() twin, so the
+    old rows-only fallback parametrization is empty — pytest reported it as
+    the suite's one unexplained SKIP (VERDICT r3 item 8). Pin the stronger
+    property outright: the rows-only check stays dead as long as this
+    holds, and if a future non-SQL-expressible query drops it, this test
+    fails loudly and the rows-only runner below must come back."""
+    rows_only = [k for k in ALL_KEYS if k not in ORACLE_KEYS]
+    assert rows_only == [], (
+        f"queries without oracles appeared: {rows_only}; re-add the "
+        "rows-only smoke parametrization for them"
+    )
 
 
 def test_entry_flagship(spark):
