@@ -667,6 +667,26 @@ def q_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.select("id", F.round("cosine", 6).alias("cosine"))
 
 
+def q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (inverted-file) ANN scale path: spherical-k-means coarse
+    quantizer trained on a bounded deterministic sample, Arrow-batched
+    cluster assignment, probe-filtered exact re-score
+    (operators/similarity.py::ivf_topk). Probing ALL n_clusters lists is
+    exactly brute force — the identity this contract row pins, so the
+    whole train/assign/probe plumbing hash-matches the DuckDB brute-force
+    oracle. Partial-probe recall behavior is pinned separately in
+    tests/test_similarity.py."""
+    from web_search_pagerank_project_spark.operators.similarity import ivf_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
+    top = ivf_topk(
+        emb.filter(F.col("vec_id") != 0), [float(x) for x in q], k=10,
+        n_clusters=8, nprobe=8,
+    )
+    return top.select("id", F.round("cosine", 6).alias("cosine"))
+
+
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact word-3-gram Jaccard over consecutive-id candidate pairs —
     array_intersect/array_union JVM-side (operators/dedup.py)."""
@@ -785,6 +805,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "component_sizes": q_component_sizes,
         "lsh_ann_topk": q_lsh_ann_topk,
+        "ivf_ann_topk": q_ivf_ann_topk,
         "minhash_near_dups": q_minhash_near_dups,
         "simhash_near_dups": q_simhash_near_dups,
         "lsh_pairs_above": q_lsh_pairs_above,
@@ -1104,6 +1125,19 @@ def oracle_sql() -> dict[str, str]:
         # LSH top-k with coverage-guaranteed banding == brute-force top-k
         # (see q_lsh_ann_topk docstring for the recall argument)
         "lsh_ann_topk": """
+        WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0)
+        SELECT vec_id AS id,
+               ROUND(
+                 list_dot_product(CAST(embedding AS DOUBLE[]), (SELECT qv FROM q))
+                 / (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))
+                    * sqrt(list_dot_product((SELECT qv FROM q), (SELECT qv FROM q)))), 6
+               ) AS cosine
+        FROM embeddings WHERE vec_id <> 0
+        ORDER BY cosine DESC, vec_id LIMIT 10
+        """,
+        # IVF with nprobe == n_clusters probes every inverted list and is
+        # exactly brute force (see q_ivf_ann_topk)
+        "ivf_ann_topk": """
         WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0)
         SELECT vec_id AS id,
                ROUND(

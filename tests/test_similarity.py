@@ -106,3 +106,55 @@ def test_real_embedding_dim_768(spark):
     approx = [r["id"] for r in lsh_topk(df, q, k=4, bands=8, planes_per_band=10).collect()]
     assert approx[0] == 3
     assert {50, 51, 52} & set(approx)
+
+
+def test_ivf_full_probe_equals_brute_force(spark, embeddings):
+    """nprobe == n_clusters probes every inverted list, so IVF must return
+    EXACTLY the brute-force top-k — this identity is what the contract
+    query pins, and it exercises train + assign + probe end to end."""
+    from web_search_pagerank_project_spark.operators.similarity import ivf_topk
+
+    df, base = embeddings
+    q = [float(x) for x in base[7]]
+    exact = [(r["id"], r["cosine"]) for r in brute_force_topk(df, q, k=10).collect()]
+    got = [
+        (r["id"], r["cosine"])
+        for r in ivf_topk(df, q, k=10, n_clusters=8, nprobe=8).collect()
+    ]
+    assert [i for i, _ in got] == [i for i, _ in exact]
+    assert np.allclose([c for _, c in got], [c for _, c in exact], atol=1e-12)
+
+
+def test_ivf_partial_probe_prunes_and_recalls(spark):
+    """Well-separated planted clusters: probing 1 of 8 lists must return the
+    query's own cluster exactly (recall 1.0 here by construction) while
+    scanning only that list."""
+    from web_search_pagerank_project_spark.operators.similarity import (
+        ivf_assign,
+        ivf_topk,
+        train_ivf_centroids,
+    )
+
+    rng = np.random.default_rng(7)
+    dim, per = 16, 40
+    centers = rng.standard_normal((8, dim)) * 10.0
+    pts = np.vstack([c + 0.05 * rng.standard_normal((per, dim)) for c in centers])
+    rows = [(i, [float(x) for x in pts[i]]) for i in range(len(pts))]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    cent = train_ivf_centroids(df, n_clusters=8, sample_size=320, seed=3)
+    # deterministic: same seed, same centroids
+    cent2 = train_ivf_centroids(df, n_clusters=8, sample_size=320, seed=3)
+    assert np.allclose(cent, cent2)
+
+    # assignment puts each planted cluster in one list
+    assigned = ivf_assign(df, cent).toPandas()
+    for c in range(8):
+        block = assigned.iloc[c * per:(c + 1) * per]["cluster"]
+        assert block.nunique() == 1, f"planted cluster {c} split across lists"
+
+    q = [float(x) for x in centers[3]]
+    got = {r["id"] for r in ivf_topk(df, q, k=10, centroids=cent, nprobe=1).collect()}
+    exact = {r["id"] for r in brute_force_topk(df, q, k=10).collect()}
+    assert got == exact  # separation makes nprobe=1 lossless here
+    assert got <= set(range(3 * per, 4 * per))  # all from the planted cluster

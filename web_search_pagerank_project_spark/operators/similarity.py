@@ -39,7 +39,7 @@ import pandas as pd
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import ArrayType, LongType
+from pyspark.sql.types import ArrayType, IntegerType, LongType
 
 
 def _norm(col):
@@ -207,4 +207,134 @@ def all_pairs_above(
     sim = cosine_sim(F.col("va").cast("array<double>"), F.col("vb").cast("array<double>"))
     return pairs.select("id_a", "id_b", sim.alias("cosine")).filter(
         F.col("cosine") >= threshold
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — the partition-pruned scale path
+# ---------------------------------------------------------------------------
+#
+# FAISS-style coarse quantization re-expressed Spark-first:
+#
+#   train    spherical k-means on a BOUNDED deterministic sample (driver-side
+#            numpy — the quantizer is tiny, (n_clusters, dim); training on a
+#            sample is the standard IVF practice and keeps the step O(sample),
+#            not O(N), at any table size)
+#   assign   ONE Arrow-batched pandas_udf: batch matmul against the centroid
+#            matrix, argmax — one plan node at any dim, exactly like
+#            lsh_signature_col
+#   probe    query -> top-`nprobe` centroids driver-side (tiny), then a
+#            cluster IN (...) filter + exact cosine re-score + top-k
+#
+# At 100 TB the assignment is materialized once, written PARTITIONED/bucketed
+# BY cluster; the probe filter then becomes metadata-level partition pruning
+# and a query touches ~N * nprobe / n_clusters rows instead of N. Recall is
+# tunable per query via nprobe with no re-index; nprobe = n_clusters probes
+# everything and is EXACTLY brute force (the contract query pins the full
+# plumbing on that identity).
+
+
+def train_ivf_centroids(
+    embeddings: DataFrame,
+    n_clusters: int = 16,
+    sample_size: int = 4096,
+    iters: int = 10,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Unit-norm (n_clusters, dim) centroid matrix from spherical k-means
+    (k-means++ init, Lloyd) over a deterministic bounded sample (the first
+    `sample_size` rows by id — TakeOrderedAndProject, never a full sort)."""
+    rows = (
+        embeddings.select(id_col, vec_col)
+        .orderBy(id_col)
+        .limit(sample_size)
+        .collect()
+    )
+    x = np.asarray([r[vec_col] for r in rows], dtype=np.float64)
+    norms = np.linalg.norm(x, axis=1, keepdims=True)
+    norms[norms == 0.0] = 1.0
+    x = x / norms
+    k = min(n_clusters, len(x))
+    rng = np.random.default_rng(seed)
+    # k-means++ seeding on cosine distance (1 - sim on the unit sphere)
+    cent = np.empty((k, x.shape[1]))
+    cent[0] = x[rng.integers(len(x))]
+    d2 = np.maximum(1.0 - x @ cent[0], 0.0) ** 2
+    for c in range(1, k):
+        probs = d2 / d2.sum() if d2.sum() > 0 else np.full(len(x), 1.0 / len(x))
+        cent[c] = x[rng.choice(len(x), p=probs)]
+        d2 = np.minimum(d2, np.maximum(1.0 - x @ cent[c], 0.0) ** 2)
+    for _ in range(iters):
+        assign = np.argmax(x @ cent.T, axis=1)
+        for c in range(k):
+            members = x[assign == c]
+            if len(members):
+                m = members.sum(axis=0)
+                n = np.linalg.norm(m)
+                if n > 0:
+                    cent[c] = m / n
+    if k < n_clusters:  # degenerate tiny input: pad with copies
+        cent = np.vstack([cent, cent[np.zeros(n_clusters - k, dtype=int)]])
+    return cent
+
+
+def ivf_assign(
+    embeddings: DataFrame,
+    centroids: np.ndarray,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Adds `cluster` (int) = argmax-cosine centroid. One Arrow-batched
+    matmul per batch; the centroid matrix rides the task closure
+    (n_clusters*dim doubles — KBs)."""
+    cent = np.ascontiguousarray(centroids, dtype=np.float64)
+
+    @F.pandas_udf(IntegerType())
+    def assign(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype="int32")
+        mat = np.stack(v.to_numpy()).astype(np.float64)
+        n = np.linalg.norm(mat, axis=1, keepdims=True)
+        n[n == 0.0] = 1.0
+        return pd.Series(np.argmax((mat / n) @ cent.T, axis=1).astype("int32"))
+
+    return embeddings.withColumn("cluster", assign(F.col(vec_col)))
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_clusters: int = 16,
+    nprobe: int = 4,
+    centroids: np.ndarray | None = None,
+    sample_size: int = 4096,
+    train_iters: int = 10,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, cosine) approximate top-k probing the `nprobe` nearest inverted
+    lists; nprobe == n_clusters is exactly brute force. Pass `centroids`
+    (from train_ivf_centroids) to reuse a trained quantizer — at scale the
+    assignment is materialized bucketed by cluster and this filter prunes
+    partitions instead of scanning."""
+    if centroids is None:
+        centroids = train_ivf_centroids(
+            embeddings, n_clusters, sample_size, train_iters, seed,
+            id_col, vec_col,
+        )
+    q = np.asarray(query_vec, dtype=np.float64)
+    qn = np.linalg.norm(q)
+    sims = centroids @ (q / qn if qn > 0 else q)
+    probes = [int(c) for c in np.argsort(-sims, kind="stable")[:nprobe]]
+    assigned = ivf_assign(embeddings, centroids, vec_col)
+    qlit = F.array(*[F.lit(float(x)) for x in query_vec])
+    sim = cosine_sim(F.col(vec_col).cast("array<double>"), qlit)
+    return (
+        assigned.filter(F.col("cluster").isin(probes))
+        .select(F.col(id_col).alias("id"), sim.alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc("id"))
+        .limit(k)
     )
