@@ -343,6 +343,31 @@ def q_filter_ratio_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept.orderBy("src", "dst")
 
 
+def q_limit_prefix_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O2: the reference's ``max_nnz`` row cap — which keeps the first
+    ``max_nnz + 1`` rows, the break firing AFTER the appending read
+    (pagerank.py:36-37) — applied to a deterministically ordered edge
+    stream (doc_id order stands in for the reference's sequential CSV
+    read; Catalyst compiles orderBy->project->limit to a single
+    TakeOrderedAndProject, so the prefix is exact, not per-partition).
+    Aggregated per src so the compared result is order-free."""
+    from web_search_pagerank_project_spark.sources.edges import limit_nnz
+    from web_search_pagerank_project_spark.sources.synth import (
+        derive_edges_from_documents,
+    )
+
+    docs = _docs(spark, sf_dir).orderBy("doc_id")
+    e = limit_nnz(derive_edges_from_documents(docs, n_vertices=V), max_nnz=299)
+    return (
+        e.groupBy("src")
+        .agg(
+            F.count("*").alias("prefix_out"),
+            F.countDistinct("dst").alias("distinct_dst"),
+        )
+        .orderBy("src")
+    )
+
+
 def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X6: degree-ordered orientation triangle count (single scalar row)."""
     from web_search_pagerank_project_spark import build_graph, triangle_count
@@ -788,6 +813,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_converged": q_pagerank_converged,
         "url_search": q_url_search,
         "filter_ratio_edges": q_filter_ratio_edges,
+        "limit_prefix_edges": q_limit_prefix_edges,
         "triangle_count": q_triangle_count,
         "connected_components": q_connected_components,
         "label_propagation": q_label_propagation,
@@ -901,6 +927,19 @@ def oracle_sql() -> dict[str, str]:
         WHERE indeg.indeg < 0.05 * (SELECT COUNT(*) FROM verts)
         GROUP BY e.src, e.dst
         ORDER BY e.src, e.dst
+        """,
+        # O2 quirk: LIMIT 300 == max_nnz(299) + 1 — the cap keeps one row
+        # MORE than asked (reference pagerank.py:36-37)
+        "limit_prefix_edges": f"""
+        WITH d AS (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 300),
+        e AS (
+            SELECT 'n' || CAST((doc_id * doc_id) % {V} AS VARCHAR) AS src,
+                   'n' || CAST(((doc_id * {_A} + {_C}) % {_M}) % {V} AS VARCHAR) AS dst
+            FROM d
+        )
+        SELECT src, COUNT(*) AS prefix_out,
+               COUNT(DISTINCT dst) AS distinct_dst
+        FROM e GROUP BY src ORDER BY src
         """,
         "triangle_count": _GRAPH_SQL_PREFIX
         + """

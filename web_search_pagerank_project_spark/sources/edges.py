@@ -47,8 +47,18 @@ def read_edge_csv(spark: SparkSession, path: str, max_nnz: int | None = None) ->
     df = spark.read.schema(_CSV_SCHEMA).option("header", True).csv(path)
     df = df.select(F.col("source").alias("src"), F.col("target").alias("dst"))
     if max_nnz is not None:
-        df = df.limit(max_nnz + 1)
+        df = limit_nnz(df, max_nnz)
     return df
+
+
+def limit_nnz(edges: DataFrame, max_nnz: int) -> DataFrame:
+    """The reference's row cap keeps the first ``max_nnz + 1`` edges — the
+    break fires AFTER the row that crosses the threshold is appended
+    (pagerank.py:36-37), an off-by-one never exposed on the CLI. Shared by
+    the CSV reader and any pre-ordered edge prefix so the quirk lives in
+    exactly one place. The prefix is well-defined only when the input has a
+    defined order (a sequential CSV read, or an explicit orderBy upstream)."""
+    return edges.limit(max_nnz + 1)
 
 
 def read_edge_parquet(spark: SparkSession, path: str) -> DataFrame:
