@@ -591,6 +591,18 @@ def scaling_run() -> None:
     """
     os.environ.setdefault("WSPR_DRIVER_MEM", "48g")
 
+    # Exclusivity guard: a collection taken while anything else computes on
+    # the box is not a scaling measurement (the 2026-08-18T11:07 history row
+    # is one — big-level PR 18.2 s vs 12.4-13.5 s in the quiet collections).
+    # Refuse to start unless the 1-min load average says the box is idle;
+    # WSPR_SCALING_FORCE=1 overrides for deliberately-loaded experiments.
+    load1 = os.getloadavg()[0]
+    if load1 > 1.0 and os.environ.get("WSPR_SCALING_FORCE", "0") != "1":
+        sys.exit(
+            f"scaling collection refused: 1-min load {load1:.2f} > 1.0 — "
+            "the box is not idle; rerun when quiet or set WSPR_SCALING_FORCE=1"
+        )
+
     lo, hi = SCALE_N, 4 * SCALE_N
     big_blocks = SCALE_BLOCKS
     weak_edges, weak_verts = SCALE_EDGES // 4, SCALE_VERTS // 4
