@@ -317,6 +317,32 @@ SCALE_CC_BLOCKS = int(os.environ.get("WSPR_SCALE_CC_BLOCKS", "16"))
 # fresh JVM sessions per level; min across sessions (session-granular
 # noise: identical work in two sessions measured 23% apart)
 SCALE_SESSIONS = int(os.environ.get("WSPR_SCALE_SESSIONS", "2"))
+# a session whose timed section sees more hypervisor steal than this gets
+# ONE replacement session (see _sessions_with_steal_retry)
+STEAL_RETRY_PCT = float(os.environ.get("WSPR_SESSION_STEAL_RETRY_PCT", "2.0"))
+
+
+def _steal_sample(cores: int) -> tuple[int, int]:
+    """(total_jiffies, steal_jiffies) summed over cpu0..cpu(cores-1) from
+    /proc/stat — the cores the session is taskset-pinned to. Hypervisor
+    steal on a shared VM is the one exclusivity violation the
+    collection-start load guard cannot see: it arrives mid-run, lasts
+    minutes, and inflates every repeat of a min-of-N equally (round-4
+    probe: dedicated back-to-back big-level CC runs spread 18.7-22.9 s,
+    while two full collections recorded 29 s as the min of SIX
+    measurements — a box-level state, not kernel or JVM noise)."""
+    tot = steal = 0
+    with open("/proc/stat") as f:
+        for line in f:
+            if not line.startswith("cpu"):
+                break
+            name = line.split()[0]
+            if name == "cpu" or int(name[3:]) >= cores:
+                continue
+            v = [int(x) for x in line.split()[1:]]
+            tot += sum(v)
+            steal += v[7] if len(v) > 7 else 0
+    return tot, steal
 
 
 def _stage_dir_for(edges: int, verts: int) -> str:
@@ -429,6 +455,7 @@ def scale_level_run(
             # min-of-REPEATS: the host is a VM; single local[N] runs jitter
             # by 2x run-to-run, and min is the standard noise-robust
             # statistic for a fixed-work benchmark
+            jt0, js0 = _steal_sample(cores)
             pr_wall = float("inf")
             for _ in range(SCALE_REPEATS):
                 t0 = time.monotonic()
@@ -447,6 +474,8 @@ def scale_level_run(
                     iters_per_action=SCALE_IPA,
                 )
                 prdf_wall = min(prdf_wall, time.monotonic() - t0)
+            jt1, js1 = _steal_sample(cores)
+            out["steal_pct"] = round(100.0 * (js1 - js0) / max(1, jt1 - jt0), 3)
             out.update({
                 "pr_wall": pr_wall,
                 "pr_iters": res.iterations,
@@ -478,6 +507,7 @@ def scale_level_run(
                 graph, max_rounds=1, blocks=cc_blocks, raise_on_cap=False,
                 frontier=False,
             )  # warmup
+            jt0, js0 = _steal_sample(cores)
             cc_wall = float("inf")
             for _ in range(SCALE_REPEATS):
                 t0 = time.monotonic()
@@ -490,6 +520,8 @@ def scale_level_run(
                     frontier=False,
                 ).count()
                 cc_wall = min(cc_wall, time.monotonic() - t0)
+            jt1, js1 = _steal_sample(cores)
+            out["steal_pct"] = round(100.0 * (js1 - js0) / max(1, jt1 - jt0), 3)
             out["cc_wall"] = cc_wall
         else:
             raise ValueError(f"unknown scale mode {mode!r}")
@@ -526,6 +558,32 @@ def _run_one_pinned_session(
     return json.loads(line[-1])
 
 
+def _sessions_with_steal_retry(run) -> list[dict]:
+    """Run SCALE_SESSIONS fresh sessions; a session whose timed section
+    measured more than STEAL_RETRY_PCT hypervisor steal on its pinned
+    cores gets ONE replacement (at most one per call). A stolen session
+    is an exclusivity violation — the mid-run analogue of the
+    collection-start load guard — and with only 2 sessions per level a
+    single noisy-neighbor window otherwise corrupts the min of every
+    kernel it brackets. The stolen session's numbers are KEPT in the
+    returned list (never drop data; min() ignores them anyway since
+    steal only slows a run)."""
+    sessions, retried = [], False
+    for _ in range(SCALE_SESSIONS):
+        r = run()
+        if not retried and r.get("steal_pct", 0.0) > STEAL_RETRY_PCT:
+            retried = True
+            print(
+                f"session steal {r['steal_pct']:.2f}% > {STEAL_RETRY_PCT}%:"
+                " flagged stolen; taking one replacement session",
+                file=sys.stderr,
+            )
+            sessions.append(r)
+            r = run()
+        sessions.append(r)
+    return sessions
+
+
 def _run_pinned_level(
     cores: int, edges: int, verts: int, blocks_k: int, cc_blocks_k: int
 ) -> dict:
@@ -536,27 +594,31 @@ def _run_pinned_level(
     but two sessions of identical work measured 23% apart (JVM heap
     placement / JIT-profile luck is decided once per process) —
     min-of-sessions extends the same noise-robust statistic one
-    granularity up."""
-    out = None
-    for _ in range(SCALE_SESSIONS):
-        r = _run_one_pinned_session(
+    granularity up. Each session reports the hypervisor steal its timed
+    section saw (recorded in the collection for audit); heavily stolen
+    sessions get one replacement via _sessions_with_steal_retry."""
+    pr_sessions = _sessions_with_steal_retry(
+        lambda: _run_one_pinned_session(
             cores, edges, verts, blocks_k, cc_blocks_k, "pr"
         )
-        if out is None:
-            out = r
-            continue
+    )
+    out = dict(pr_sessions[0])
+    for r in pr_sessions[1:]:
         if r["pr_wall"] < out["pr_wall"]:
             for key in ("pr_wall", "iters_per_hour", "edges_per_sec"):
                 out[key] = r[key]
         if r["prdf_wall"] < out["prdf_wall"]:
             out["prdf_wall"] = r["prdf_wall"]
             out["prdf_iters_per_hour"] = r["prdf_iters_per_hour"]
-    out["cc_wall"] = min(
-        _run_one_pinned_session(
+    out["pr_steal_pcts"] = [r.get("steal_pct") for r in pr_sessions]
+    out.pop("steal_pct", None)
+    cc_sessions = _sessions_with_steal_retry(
+        lambda: _run_one_pinned_session(
             cores, edges, verts, blocks_k, cc_blocks_k, "cc"
-        )["cc_wall"]
-        for _ in range(SCALE_SESSIONS)
+        )
     )
+    out["cc_wall"] = min(r["cc_wall"] for r in cc_sessions)
+    out["cc_steal_pcts"] = [r.get("steal_pct") for r in cc_sessions]
     return out
 
 
@@ -646,6 +708,7 @@ def scaling_run() -> None:
             "blocks": big_blocks, "weak_blocks": weak_blocks,
             "cc_blocks": SCALE_CC_BLOCKS, "sessions": SCALE_SESSIONS,
             "cc_dense_rounds": True, "cc_own_process": True,
+            "steal_retry_pct": STEAL_RETRY_PCT,
         },
     }
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
@@ -685,6 +748,10 @@ def _protocol_collections(history: list[dict]) -> list[dict]:
         h for h in history
         if h.get("params", {}).get("cc_own_process")
         and h.get("params", {}).get("cc_dense_rounds")
+        # guard against small-parameter experiment runs (env-overridden
+        # WSPR_SCALE_*) silently joining the acceptance pool
+        and h.get("params", {}).get("edges") == SCALE_EDGES
+        and h.get("params", {}).get("verts") == SCALE_VERTS
     ]
 
 
@@ -841,7 +908,17 @@ history table but not pooled). A single collection on this shared VM
 moves +/-0.06-0.08 run-to-run (visible in the table below); the median is
 the pre-declared robust estimator and is recomputed symmetrically every
 run — it can move DOWN as easily as up, and no collection is ever
-dropped from the history:
+dropped from the history. Since round 4 each session also MEASURES the
+hypervisor steal its timed section saw on its pinned cores (/proc/stat
+deltas, recorded per session in the history as pr/cc_steal_pcts): steal
+is the one exclusivity violation the collection-start load guard cannot
+see — it arrives mid-run, lasts minutes, and inflates every repeat of a
+min-of-N equally (a round-4 probe caught a 13% steal window; dedicated
+back-to-back big-level CC runs spread 18.7-22.9 s while two full
+collections recorded 29 s as the min of six measurements). A session
+whose steal exceeds {STEAL_RETRY_PCT:.1f}% is kept in the record but
+gets one replacement session, so a single noisy-neighbor window can no
+longer corrupt both sessions of a level:
 - weak (fixed per-core work): {_verdict(med_weak, n_proto)}
 - strong (single shared bus): {_verdict(med_strong, n_proto)}
 - latest collection alone: weak {_verdict(weak)}; strong {_verdict(strong)}
