@@ -62,6 +62,29 @@ pw AS (
 )
 """
 
+# degree-ordered edge orientation (triangles.py:26-56) as appendable CTEs —
+# shared by the triangle_count and triangles_per_vertex oracles
+_ORIENTED_SQL = """
+, und AS (
+    SELECT DISTINCT LEAST(src, dst) AS u, GREATEST(src, dst) AS v
+    FROM e WHERE src <> dst
+),
+deg AS (
+    SELECT id, COUNT(*) AS d FROM (
+        SELECT u AS id FROM und UNION ALL SELECT v AS id FROM und
+    ) GROUP BY id
+),
+oriented AS (
+    SELECT CASE WHEN (du.d < dv.d) OR (du.d = dv.d AND und.u < und.v)
+                THEN und.u ELSE und.v END AS a,
+           CASE WHEN (du.d < dv.d) OR (du.d = dv.d AND und.u < und.v)
+                THEN und.v ELSE und.u END AS b
+    FROM und
+    JOIN deg du ON und.u = du.id
+    JOIN deg dv ON und.v = dv.id
+)
+"""
+
 
 def _pr_oracle_sql(
     vraw_expr: str,
@@ -375,6 +398,25 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     graph = build_graph(_edges(spark, sf_dir), cache=True)
     n = triangle_count(graph)
     return spark.createDataFrame([(n,)], "triangles long")
+
+
+def q_triangles_per_vertex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X6 (per-vertex form): triangles incident to each vertex — one count
+    per corner of every oriented-wedge triangle (triangles.py:79-103,
+    sharing the O(sqrt(m))-bounded wedge plan with q_triangle_count).
+    Keyed by url so the oracle needs no id-assignment replay."""
+    from web_search_pagerank_project_spark import build_graph
+    from web_search_pagerank_project_spark.operators.triangles import (
+        triangles_per_vertex,
+    )
+
+    graph = build_graph(_edges(spark, sf_dir), cache=True)
+    per_v = triangles_per_vertex(graph)
+    return (
+        per_v.join(graph.vertices, "id")
+        .select("url", "triangles")
+        .orderBy("url")
+    )
 
 
 def q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -815,6 +857,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "filter_ratio_edges": q_filter_ratio_edges,
         "limit_prefix_edges": q_limit_prefix_edges,
         "triangle_count": q_triangle_count,
+        "triangles_per_vertex": q_triangles_per_vertex,
         "connected_components": q_connected_components,
         "label_propagation": q_label_propagation,
         "lineitem_pricing_summary": q_lineitem_pricing_summary,
@@ -942,29 +985,34 @@ def oracle_sql() -> dict[str, str]:
         FROM e GROUP BY src ORDER BY src
         """,
         "triangle_count": _GRAPH_SQL_PREFIX
+        + _ORIENTED_SQL
         + """
-        , und AS (
-            SELECT DISTINCT LEAST(src, dst) AS u, GREATEST(src, dst) AS v
-            FROM e WHERE src <> dst
-        ),
-        deg AS (
-            SELECT id, COUNT(*) AS d FROM (
-                SELECT u AS id FROM und UNION ALL SELECT v AS id FROM und
-            ) GROUP BY id
-        ),
-        oriented AS (
-            SELECT CASE WHEN (du.d < dv.d) OR (du.d = dv.d AND und.u < und.v)
-                        THEN und.u ELSE und.v END AS a,
-                   CASE WHEN (du.d < dv.d) OR (du.d = dv.d AND und.u < und.v)
-                        THEN und.v ELSE und.u END AS b
-            FROM und
-            JOIN deg du ON und.u = du.id
-            JOIN deg dv ON und.v = dv.id
-        )
         SELECT CAST(COUNT(*) AS BIGINT) AS triangles
         FROM oriented e1
         JOIN oriented e2 ON e1.b = e2.a
         JOIN oriented e3 ON e3.a = e1.a AND e3.b = e2.b
+        """,
+        "triangles_per_vertex": _GRAPH_SQL_PREFIX
+        + _ORIENTED_SQL
+        + """
+        , tri AS (
+            SELECT e1.a AS w_a, e1.b AS w_b, e2.b AS w_c
+            FROM oriented e1
+            JOIN oriented e2 ON e1.b = e2.a
+            JOIN oriented e3 ON e3.a = e1.a AND e3.b = e2.b
+        ),
+        corners AS (
+            SELECT w_a AS url FROM tri
+            UNION ALL SELECT w_b FROM tri
+            UNION ALL SELECT w_c FROM tri
+        )
+        SELECT verts.url,
+               CAST(COALESCE(cnt.c, 0) AS BIGINT) AS triangles
+        FROM verts
+        LEFT JOIN (
+            SELECT url, COUNT(*) AS c FROM corners GROUP BY url
+        ) cnt ON verts.url = cnt.url
+        ORDER BY verts.url
         """,
         "lineitem_pricing_summary": """
         SELECT l_returnflag, l_linestatus,
