@@ -317,6 +317,15 @@ SCALE_CC_BLOCKS = int(os.environ.get("WSPR_SCALE_CC_BLOCKS", "16"))
 # fresh JVM sessions per level; min across sessions (session-granular
 # noise: identical work in two sessions measured 23% apart)
 SCALE_SESSIONS = int(os.environ.get("WSPR_SCALE_SESSIONS", "2"))
+# CC gets one extra session by default: its big level shows a bimodal
+# ~1.7x "slow mode" that hits a whole session at a time (both PR kernels
+# in the same collection unaffected; steal <0.2%) — with p(slow)~0.3 per
+# session, min-of-2 sessions is corrupted ~9% of collections (observed:
+# 1 of 9), min-of-3 cuts that to ~3%. PR stays at 2: its session spread
+# never showed the mode.
+SCALE_CC_SESSIONS = int(
+    os.environ.get("WSPR_SCALE_CC_SESSIONS", str(max(3, SCALE_SESSIONS)))
+)
 # a session whose timed section sees more hypervisor steal than this gets
 # ONE replacement session (see _sessions_with_steal_retry)
 STEAL_RETRY_PCT = float(os.environ.get("WSPR_SESSION_STEAL_RETRY_PCT", "2.0"))
@@ -531,6 +540,37 @@ def scale_level_run(
         spark.stop()
 
 
+def _settle_box(max_wait_s: float = 180.0) -> dict:
+    """Per-SESSION analogue of the collection-start idle guard: wait (up
+    to max_wait_s) until the 1-min load is < 1.0 and dirty writeback has
+    drained, so every pinned session starts from a comparable box state.
+
+    Why: the big level runs mid-collection, right after ~10 min of
+    full-tilt strong-lo work, while weak-lo runs last — the weak ratio
+    compared sessions taken in systematically DIFFERENT box states, and
+    the big level's CC is where the ~35 s "slow mode" kept appearing
+    (BENCH/scaling_history.json collections 5/8/9; steal <0.2%, so not a
+    neighbor — a draining/hot box state the start-of-collection guard
+    never saw because it only ran once). The wait is capped, and what was
+    observed (load at session start, seconds waited) is recorded in the
+    session row for audit rather than silently trusted."""
+    t0 = time.monotonic()
+    while time.monotonic() - t0 < max_wait_s:
+        load1 = os.getloadavg()[0]
+        dirty_kb = 0
+        with open("/proc/meminfo") as f:
+            for line in f:
+                if line.startswith(("Dirty:", "Writeback:")):
+                    dirty_kb += int(line.split()[1])
+        if load1 < 1.0 and dirty_kb < 262_144:  # 256 MB
+            break
+        time.sleep(5.0)
+    return {
+        "settle_wait_s": round(time.monotonic() - t0, 1),
+        "load1_at_start": round(os.getloadavg()[0], 2),
+    }
+
+
 def _run_one_pinned_session(
     cores: int, edges: int, verts: int, blocks_k: int, cc_blocks_k: int,
     mode: str,
@@ -538,6 +578,7 @@ def _run_one_pinned_session(
     import shutil
     import subprocess
 
+    settle = _settle_box()
     cmd = [
         sys.executable, os.path.abspath(__file__),
         "--scale-level", str(cores), str(edges), str(verts), str(blocks_k),
@@ -555,11 +596,13 @@ def _run_one_pinned_session(
         raise RuntimeError(
             f"scale level cores={cores} edges={edges} mode={mode} failed"
         )
-    return json.loads(line[-1])
+    out = json.loads(line[-1])
+    out.update(settle)
+    return out
 
 
-def _sessions_with_steal_retry(run) -> list[dict]:
-    """Run SCALE_SESSIONS fresh sessions; a session whose timed section
+def _sessions_with_steal_retry(run, n: int = SCALE_SESSIONS) -> list[dict]:
+    """Run ``n`` fresh sessions; a session whose timed section
     measured more than STEAL_RETRY_PCT hypervisor steal on its pinned
     cores gets ONE replacement (at most one per call). A stolen session
     is an exclusivity violation — the mid-run analogue of the
@@ -611,14 +654,18 @@ def _run_pinned_level(
             out["prdf_wall"] = r["prdf_wall"]
             out["prdf_iters_per_hour"] = r["prdf_iters_per_hour"]
     out["pr_steal_pcts"] = [r.get("steal_pct") for r in pr_sessions]
+    out["pr_settle_waits"] = [r.get("settle_wait_s") for r in pr_sessions]
     out.pop("steal_pct", None)
     cc_sessions = _sessions_with_steal_retry(
         lambda: _run_one_pinned_session(
             cores, edges, verts, blocks_k, cc_blocks_k, "cc"
-        )
+        ),
+        n=SCALE_CC_SESSIONS,
     )
     out["cc_wall"] = min(r["cc_wall"] for r in cc_sessions)
+    out["cc_walls"] = [round(r["cc_wall"], 2) for r in cc_sessions]
     out["cc_steal_pcts"] = [r.get("steal_pct") for r in cc_sessions]
+    out["cc_settle_waits"] = [r.get("settle_wait_s") for r in cc_sessions]
     return out
 
 
@@ -707,6 +754,7 @@ def scaling_run() -> None:
             "repeats": SCALE_REPEATS, "ipa": SCALE_IPA,
             "blocks": big_blocks, "weak_blocks": weak_blocks,
             "cc_blocks": SCALE_CC_BLOCKS, "sessions": SCALE_SESSIONS,
+            "cc_sessions": SCALE_CC_SESSIONS, "session_settle": True,
             "cc_dense_rounds": True, "cc_own_process": True,
             "steal_retry_pct": STEAL_RETRY_PCT,
         },
@@ -918,7 +966,20 @@ back-to-back big-level CC runs spread 18.7-22.9 s while two full
 collections recorded 29 s as the min of six measurements). A session
 whose steal exceeds {STEAL_RETRY_PCT:.1f}% is kept in the record but
 gets one replacement session, so a single noisy-neighbor window can no
-longer corrupt both sessions of a level:
+longer corrupt both sessions of a level. Two further hardenings (late
+round 4): (1) every pinned session now starts behind a SETTLE GATE
+(wait, capped at 180 s, until 1-min load < 1.0 and dirty writeback has
+drained) — the big level used to launch mid-collection right after
+~10 min of full-tilt strong-lo work while weak-lo launched last, so the
+weak ratio compared sessions taken in systematically different box
+states, which is where the big-level CC "slow mode" (~1.7x, steal
+<0.2%) kept appearing; per-session waits and start loads are recorded
+in the history. (2) CC takes {SCALE_CC_SESSIONS} fresh sessions per
+level (PR stays at {p.get('sessions', 2)}): the slow mode hits a whole
+session at a time, and with p~0.3 a min-of-2 is corrupted ~9% of
+collections (observed 1 of 9) vs ~3% for min-of-3; all per-session CC
+walls are recorded (cc_walls), so the mode stays visible in the data
+rather than being silently dropped:
 - weak (fixed per-core work): {_verdict(med_weak, n_proto)}
 - strong (single shared bus): {_verdict(med_strong, n_proto)}
 - latest collection alone: weak {_verdict(weak)}; strong {_verdict(strong)}
