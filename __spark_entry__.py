@@ -204,6 +204,56 @@ def _pr_oracle_sql(
     )
 
 
+def _hits_oracle_sql(iters: int = 3) -> str:
+    """Unrolled Kleinberg HITS (operators/hits.py semantics): over the
+    deduplicated directed edge structure (pw's (src, dst) pairs — already
+    duplicate-collapsed), h0 = 1/sqrt(n), then per iteration
+    a = norm2(A^T h), h = norm2(A a). Per-step L2 normalization keeps every
+    compared value O(1), so ROUND(x, 6) absolute tolerance is safe."""
+    blocks = []
+    for i in range(1, iters + 1):
+        prev = f"h{i - 1}"
+        blocks.append(f"""
+        ar{i} AS (
+            SELECT verts.url, COALESCE(c.v, 0) AS x FROM verts LEFT JOIN (
+                SELECT ed.dst AS url, SUM({prev}.s) AS v
+                FROM ed JOIN {prev} ON ed.src = {prev}.url GROUP BY ed.dst
+            ) c ON verts.url = c.url
+        ),
+        an{i} AS (SELECT sqrt(SUM(x * x)) AS nrm FROM ar{i}),
+        a{i} AS (
+            SELECT url, CASE WHEN (SELECT nrm FROM an{i}) > 0
+                             THEN x / (SELECT nrm FROM an{i}) ELSE 0.0 END AS s
+            FROM ar{i}
+        ),
+        hr{i} AS (
+            SELECT verts.url, COALESCE(c.v, 0) AS x FROM verts LEFT JOIN (
+                SELECT ed.src AS url, SUM(a{i}.s) AS v
+                FROM ed JOIN a{i} ON ed.dst = a{i}.url GROUP BY ed.src
+            ) c ON verts.url = c.url
+        ),
+        hn{i} AS (SELECT sqrt(SUM(x * x)) AS nrm FROM hr{i}),
+        h{i} AS (
+            SELECT url, CASE WHEN (SELECT nrm FROM hn{i}) > 0
+                             THEN x / (SELECT nrm FROM hn{i}) ELSE 0.0 END AS s
+            FROM hr{i}
+        )""")
+    return (
+        _GRAPH_SQL_PREFIX
+        + f"""
+        , ed AS (SELECT src, dst FROM pw),
+        h0 AS (SELECT url, 1.0 / sqrt((SELECT n FROM nn)) AS s FROM verts),
+        """
+        + ",".join(blocks)
+        + f"""
+        SELECT a{iters}.url, ROUND(a{iters}.s, 6) AS authority,
+               ROUND(h{iters}.s, 6) AS hub
+        FROM a{iters} JOIN h{iters} ON a{iters}.url = h{iters}.url
+        ORDER BY authority DESC, a{iters}.url
+        """
+    )
+
+
 def _lpa_oracle_sql(rounds: int) -> str:
     """Unrolled synchronous LPA (operators/labelprop.py semantics): each
     vertex adopts its most frequent neighbor label, ties -> MIN label; no
@@ -330,6 +380,28 @@ def q_pagerank_3iter(spark: SparkSession, sf_dir: str) -> DataFrame:
         res.by_url(graph)
         .select("url", F.round("rank", 6).alias("score"))
         .orderBy(F.desc("score"), F.asc("url"))
+    )
+
+
+def q_hits_3iter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs & authorities, 3 full iterations (operators/hits.py) — the
+    other classic link-analysis ranking a web-search engine computes on the
+    same edge table (breadth beyond the reference's PageRank-only scoring,
+    ws_pagerank.py:121-178). Per half-step L2 normalization; oracle is the
+    same 3 iterations unrolled in SQL (_hits_oracle_sql)."""
+    from web_search_pagerank_project_spark import build_graph
+    from web_search_pagerank_project_spark.operators.hits import hits
+
+    graph = build_graph(_edges(spark, sf_dir), cache=True)
+    res = hits(graph, max_iterations=3, epsilon=0.0)
+    return (
+        res.by_url(graph)
+        .select(
+            "url",
+            F.round("authority", 6).alias("authority"),
+            F.round("hub", 6).alias("hub"),
+        )
+        .orderBy(F.desc("authority"), F.asc("url"))
     )
 
 
@@ -853,6 +925,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_3iter": q_pagerank_3iter,
         "pagerank_personalized_3iter": q_pagerank_personalized_3iter,
         "pagerank_converged": q_pagerank_converged,
+        "hits_3iter": q_hits_3iter,
         "url_search": q_url_search,
         "filter_ratio_edges": q_filter_ratio_edges,
         "limit_prefix_edges": q_limit_prefix_edges,
@@ -950,6 +1023,7 @@ def oracle_sql() -> dict[str, str]:
         "pagerank_converged": _pr_oracle_sql(
             "1.0", iters=100, epsilon=1e-6, limit=50, normalize=True
         ),
+        "hits_3iter": _hits_oracle_sql(iters=3),
         "url_search": f"""
         WITH e AS ({_EDGES_SQL}),
         scored AS (SELECT dst AS url, COUNT(*) AS score FROM e GROUP BY dst)

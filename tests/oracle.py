@@ -264,3 +264,36 @@ def label_propagation_oracle(
             break
         labels = new_labels
     return labels
+
+
+def hits_oracle(
+    edge_rows: list[tuple[str, str]], iters: int = 3
+) -> dict[str, tuple[float, float]]:
+    """Kleinberg HITS over the engine's link structure (regex drop +
+    duplicate-edge collapse; self-loops kept, matching the weighted edge
+    table build_graph produces): h0 = 1/sqrt(n); per iteration
+    a = norm2(A^T h), h = norm2(A a). Returns url -> (authority, hub)."""
+    pairs = sorted(
+        {
+            (s, t)
+            for s, t in edge_rows
+            if not URL_DROP_RE.match(s) and not URL_DROP_RE.match(t)
+        }
+    )
+    urls = sorted({u for p in pairs for u in p})
+    idx = {u: i for i, u in enumerate(urls)}
+    n = len(urls)
+    src = np.array([idx[s] for s, _ in pairs], dtype=np.int64)
+    dst = np.array([idx[t] for _, t in pairs], dtype=np.int64)
+    h = np.full(n, 1.0 / np.sqrt(n), dtype=np.float64)
+    a = np.zeros(n, dtype=np.float64)
+    for _ in range(iters):
+        a_raw = np.zeros(n, dtype=np.float64)
+        np.add.at(a_raw, dst, h[src])
+        na = np.linalg.norm(a_raw)
+        a = a_raw / na if na > 0 else a_raw
+        h_raw = np.zeros(n, dtype=np.float64)
+        np.add.at(h_raw, src, a[dst])
+        nh = np.linalg.norm(h_raw)
+        h = h_raw / nh if nh > 0 else h_raw
+    return {u: (float(a[idx[u]]), float(h[idx[u]])) for u in urls}

@@ -1,6 +1,7 @@
 from .graph_build import GraphTables, build_graph
 from .pagerank import pagerank, PageRankResult
 from .components import connected_components
+from .hits import hits, HitsResult
 from .labelprop import label_propagation
 from .triangles import triangle_count
 
@@ -9,6 +10,8 @@ __all__ = [
     "build_graph",
     "pagerank",
     "PageRankResult",
+    "hits",
+    "HitsResult",
     "connected_components",
     "label_propagation",
     "triangle_count",
