@@ -254,6 +254,51 @@ def _hits_oracle_sql(iters: int = 3) -> str:
     )
 
 
+def _kcore_oracle_sql(k: int, rounds: int) -> str:
+    """Unrolled k-core peeling (operators/kcore.py semantics) over the
+    deduplicated undirected self-loop-free structure. ``rounds`` must be
+    >= the synchronous peel depth at the contract SF (measured: 2 at both
+    sf0.001 and sf0.01 for k=6); extra rounds are no-ops at the fixed
+    point, so over-unrolling is safe."""
+    parts = [
+        f"WITH e AS ({_EDGES_SQL}),",
+        """
+        ku0 AS MATERIALIZED (
+            SELECT DISTINCT LEAST(src, dst) AS u, GREATEST(src, dst) AS v
+            FROM e WHERE src <> dst
+        )
+        """,
+    ]
+    # MATERIALIZED: each round references its predecessor ~3x, so plain
+    # (inlined) CTEs make the expansion 3^rounds scans of the base table —
+    # DuckDB runs out of file handles before it runs out of patience
+    for r in range(1, rounds + 1):
+        parts.append(
+            f"""
+        , kd{r} AS (
+            SELECT id FROM (
+                SELECT u AS id FROM ku{r - 1}
+                UNION ALL SELECT v AS id FROM ku{r - 1}
+            ) GROUP BY id HAVING COUNT(*) >= {k}
+        ),
+        ku{r} AS MATERIALIZED (
+            SELECT p.u, p.v FROM ku{r - 1} p
+            JOIN kd{r} a ON p.u = a.id
+            JOIN kd{r} b ON p.v = b.id
+        )
+        """
+        )
+    parts.append(
+        f"""
+        SELECT id AS url, COUNT(*) AS core_degree FROM (
+            SELECT u AS id FROM ku{rounds}
+            UNION ALL SELECT v AS id FROM ku{rounds}
+        ) GROUP BY id ORDER BY url
+        """
+    )
+    return "".join(parts)
+
+
 def _lpa_oracle_sql(rounds: int) -> str:
     """Unrolled synchronous LPA (operators/labelprop.py semantics): each
     vertex adopts its most frequent neighbor label, ties -> MIN label; no
@@ -505,6 +550,22 @@ def q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("id").alias("component_id"), F.col("url").alias("component_url")
     )
     return lab.join(min_urls, "component_id").select("url", "component_url").orderBy("url")
+
+
+def q_kcore_6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X10: 6-core of the link graph (url, within-core degree) via
+    distributed peeling (operators/kcore.py); oracle unrolls the same
+    peel 8 synchronous rounds in SQL (_kcore_oracle_sql)."""
+    from web_search_pagerank_project_spark import build_graph
+    from web_search_pagerank_project_spark.operators.kcore import k_core
+
+    graph = build_graph(_edges(spark, sf_dir), cache=True)
+    core = k_core(graph, 6)
+    return (
+        core.join(graph.vertices, "id")
+        .select("url", "core_degree")
+        .orderBy("url")
+    )
 
 
 def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -933,6 +994,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangles_per_vertex": q_triangles_per_vertex,
         "connected_components": q_connected_components,
         "label_propagation": q_label_propagation,
+        "kcore_6": q_kcore_6,
         "lineitem_pricing_summary": q_lineitem_pricing_summary,
         "top_customers": q_top_customers,
         "events_hourly": q_events_hourly,
@@ -1171,6 +1233,10 @@ def oracle_sql() -> dict[str, str]:
         ORDER BY size DESC, component_url
         """,
         "label_propagation": _lpa_oracle_sql(5),
+        # 4 unrolled rounds: measured sync peel depth at the contract SF is
+        # 2 (sf0.001 and sf0.01); deeper unrolls blow DuckDB's file-handle
+        # budget when it shares the process with a live SparkContext
+        "kcore_6": _kcore_oracle_sql(6, 4),
         "customer_nation_setops": """
         SELECT nationkey FROM (
             SELECT DISTINCT c_nationkey AS nationkey FROM customer

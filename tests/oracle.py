@@ -297,3 +297,29 @@ def hits_oracle(
         nh = np.linalg.norm(h_raw)
         h = h_raw / nh if nh > 0 else h_raw
     return {u: (float(a[idx[u]]), float(h[idx[u]])) for u in urls}
+
+
+def k_core_oracle(
+    edge_rows: list[tuple[str, str]], k: int
+) -> dict[str, int]:
+    """Textbook peeling over the engine's undirected structure (regex drop,
+    duplicate collapse, self-loops removed). Returns url -> core degree for
+    vertices in the k-core."""
+    pairs = {
+        tuple(sorted((s, t)))
+        for s, t in edge_rows
+        if s != t and not URL_DROP_RE.match(s) and not URL_DROP_RE.match(t)
+    }
+    adj: dict[str, set[str]] = {}
+    for u, v in pairs:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    changed = True
+    while changed:
+        changed = False
+        for u in [u for u, nb in adj.items() if len(nb) < k]:
+            for v in adj[u]:
+                adj[v].discard(u)
+            del adj[u]
+            changed = True
+    return {u: len(nb) for u, nb in adj.items()}

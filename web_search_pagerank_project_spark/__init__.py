@@ -21,6 +21,8 @@ from .operators.components import (
     connected_components_csr,
     connected_components_star,
 )
+from .operators.hits import hits, HitsResult
+from .operators.kcore import k_core
 from .operators.labelprop import label_propagation
 from .operators.triangles import triangle_count
 from .functions.query import query_predicate, make_personalization_vector
@@ -40,6 +42,9 @@ __all__ = [
     "connected_components",
     "connected_components_csr",
     "connected_components_star",
+    "hits",
+    "HitsResult",
+    "k_core",
     "label_propagation",
     "triangle_count",
     "query_predicate",
