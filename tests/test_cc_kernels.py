@@ -142,3 +142,29 @@ def test_cc_csr_edgeless_blocks_not_merged(spark):
     assert set(got) == set(range(8))
     assert got == want
     assert got[2] == 2 and got[3] == 3 and got[6] == 6 and got[7] == 7
+
+
+def test_csr_cc_chunked_blocks_match(spark):
+    """Chunked block rows (bounded Arrow cells, round-4 slow-mode fix) are
+    layout-invariant: chunk_edges small enough to split destination runs
+    across chunks must reproduce the unchunked labels exactly."""
+    import random as _random
+
+    from web_search_pagerank_project_spark.operators.components import (
+        build_minlabel_blocks,
+    )
+
+    rng = _random.Random(99)
+    rows = [
+        (f"u{rng.randrange(40):02d}", f"u{rng.randrange(40):02d}")
+        for _ in range(120)
+    ]
+    graph = _build(spark, rows)
+    base = _labels(connected_components(graph))
+    for ce in (1, 3, 7):  # pathological chunk sizes force run splits
+        blocks = build_minlabel_blocks(graph, 5, chunk_edges=ce)
+        got = _labels(
+            connected_components_csr(graph, blocks=blocks, rounds_per_action=3)
+        )
+        assert got == base, ce
+    graph.unpersist()

@@ -89,7 +89,7 @@ class _CoreSampler(threading.Thread):
         super().__init__(daemon=True)
         self.cores, self.interval = cores, interval
         self.samples: list[float] = []
-        self._stop = threading.Event()
+        self._halt = threading.Event()
 
     @staticmethod
     def _snap(cores):
@@ -109,7 +109,7 @@ class _CoreSampler(threading.Thread):
 
     def run(self):
         b0, t0 = self._snap(self.cores)
-        while not self._stop.wait(self.interval):
+        while not self._halt.wait(self.interval):
             b1, t1 = self._snap(self.cores)
             db = sum(b1[c] - b0[c] for c in b1)
             dt = sum(t1[c] - t0[c] for c in t1)
@@ -118,7 +118,7 @@ class _CoreSampler(threading.Thread):
             b0, t0 = b1, t1
 
     def stop(self) -> float:
-        self._stop.set()
+        self._halt.set()
         self.join(timeout=2)
         return sum(self.samples) / len(self.samples) if self.samples else -1.0
 

@@ -302,6 +302,7 @@ def build_minlabel_blocks(
     graph: GraphTables,
     num_blocks: int,
     symmetric_edges: DataFrame | None = None,
+    chunk_edges: int = 2_000_000,
 ) -> DataFrame:
     """Symmetrized edge set packed as per-block arrays for min-label rounds.
 
@@ -309,11 +310,26 @@ def build_minlabel_blocks(
     pre-sorts edges by destination so the per-dst min is one
     ``np.minimum.reduceat`` call (there is no bincount-min).
 
+    Each block is emitted as one or more CHUNK rows of at most
+    ``chunk_edges`` edges (round-4 slow-mode finding): a 240M-edge graph
+    at K=16 packs ~30M-entry arrays into single Arrow cells, and every
+    byte above the pooled allocator's chunk size is a fresh mmap/munmap
+    per round — the measured big-level "slow mode" was 190-240 s of
+    KERNEL time (page faults + TLB shootdowns, which broadcast to every
+    core) per 6 rounds, against ~22 s of user-space work. Bounded rows
+    (8 MB at the default) keep allocations pooled at any graph size.
+    Chunks split the edge axis; a destination run that crosses a chunk
+    boundary yields partial mins in both chunks, which merge_min folds
+    (min is idempotent). Correctness is chunk-layout-independent.
+
     symmetric_edges: optionally a pre-symmetrized, self-loop-free, distinct
     (src_id, dst_id) table (e.g. staged parquet) — skips the symmetrize
     shuffle here.
     """
     k = num_blocks
+    ce = int(chunk_edges)
+    if ce < 1:
+        raise ValueError("chunk_edges must be >= 1")
     spark = graph.edges.sparkSession
     p = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     bkeys = balanced_block_keys(k, p)
@@ -353,15 +369,33 @@ def build_minlabel_blocks(
         starts = np.searchsorted(
             dst_inv[edge_order], np.arange(len(dst_sort))
         ).astype(np.int32)
+
+        n_edges, n_dst = len(src_pos_sorted), len(dst_sort)
+        rows = {c: [] for c in ("src_pos_sorted", "dst_pos", "starts", "out_ptr")}
+        for lo in range(0, n_edges, ce):
+            hi = min(lo + ce, n_edges)
+            # unique-dst range whose runs intersect [lo, hi)
+            j_lo = int(np.searchsorted(starts, lo, side="right")) - 1
+            j_hi = int(np.searchsorted(starts, hi, side="left"))
+            rows["src_pos_sorted"].append(src_pos_sorted[lo:hi])
+            rows["starts"].append(
+                np.clip(starts[j_lo:j_hi], lo, hi).astype(np.int32) - lo
+            )
+            rows["dst_pos"].append(dst_pos[j_lo:j_hi])
+            rows["out_ptr"].append(
+                (np.clip(out_ptr, j_lo, j_hi) - j_lo).astype(np.int32)
+            )
+        n_rows = len(rows["src_pos_sorted"])
+        assert n_rows >= 1  # n_edges >= 1 here
         return pd.DataFrame(
             {
-                "block": [block],
-                "bkey": [bkeys[block]],
-                "src_pos_sorted": [src_pos_sorted],
-                "dst_pos": [dst_pos],
-                "starts": [starts],
-                "out_ptr": [out_ptr],
-                "k": [k],
+                "block": [block] * n_rows,
+                "bkey": [bkeys[block]] * n_rows,
+                "src_pos_sorted": rows["src_pos_sorted"],
+                "dst_pos": rows["dst_pos"],
+                "starts": rows["starts"],
+                "out_ptr": rows["out_ptr"],
+                "k": [k] * n_rows,
             }
         )
 
@@ -494,28 +528,36 @@ def connected_components_csr(
                  "dst_pos": pd.Series([], dtype=object),
                  "mins": pd.Series([], dtype=object)}
             )
-        sps = np.asarray(left["src_pos_sorted"].iloc[0], dtype=np.int32)
-        dst_pos = np.asarray(left["dst_pos"].iloc[0], dtype=np.int32)
-        starts = np.asarray(left["starts"].iloc[0], dtype=np.int32)
-        out_ptr = np.asarray(left["out_ptr"].iloc[0], dtype=np.int32)
-        # non-frontier sources contribute +inf and fall out of the min;
-        # dsts whose every in-edge source is outside the frontier are not
-        # emitted at all — late-round partials carry only live entries
-        vals = np.where(mask[sps], labels[sps], np.iinfo(np.int64).max)
-        mins = (
-            np.minimum.reduceat(vals, starts)
-            if len(starts)
-            else np.empty(0, dtype=np.int64)
-        )
         rows_b, rows_p, rows_m = [], [], []
-        for ob in range(len(out_ptr) - 1):
-            s, e = out_ptr[ob], out_ptr[ob + 1]
-            if e > s:
-                live = mins[s:e] != np.iinfo(np.int64).max
-                if live.any():
-                    rows_b.append(int(bkey_arr[ob]))
-                    rows_p.append(dst_pos[s:e][live])
-                    rows_m.append(mins[s:e][live])
+        # one or more bounded CHUNK rows per block (build_minlabel_blocks):
+        # each is an independent slice of the edge axis; a dst run split
+        # across chunks yields partial mins that merge_min folds (min is
+        # idempotent), so per-chunk emission is exact
+        for ci in range(len(left)):
+            sps = np.asarray(left["src_pos_sorted"].iloc[ci], dtype=np.int32)
+            if len(sps) == 0:
+                continue
+            dst_pos = np.asarray(left["dst_pos"].iloc[ci], dtype=np.int32)
+            starts = np.asarray(left["starts"].iloc[ci], dtype=np.int32)
+            out_ptr = np.asarray(left["out_ptr"].iloc[ci], dtype=np.int32)
+            # non-frontier sources contribute +inf and fall out of the min;
+            # dsts whose every in-edge source is outside the frontier are
+            # not emitted at all — late-round partials carry only live
+            # entries
+            vals = np.where(mask[sps], labels[sps], np.iinfo(np.int64).max)
+            mins = (
+                np.minimum.reduceat(vals, starts)
+                if len(starts)
+                else np.empty(0, dtype=np.int64)
+            )
+            for ob in range(len(out_ptr) - 1):
+                s, e = out_ptr[ob], out_ptr[ob + 1]
+                if e > s:
+                    live = mins[s:e] != np.iinfo(np.int64).max
+                    if live.any():
+                        rows_b.append(int(bkey_arr[ob]))
+                        rows_p.append(dst_pos[s:e][live])
+                        rows_m.append(mins[s:e][live])
         # dtype=object even when empty: a bare [] infers float64 and Arrow
         # refuses the float64 -> list<int32> column conversion
         return pd.DataFrame(
@@ -564,7 +606,7 @@ def connected_components_csr(
     while done < max_rounds and not converged:
         batch = min(rounds_per_action, max_rounds - done)
         st = state
-        for _ in range(batch):
+        for _sub in range(batch):
             partials = (
                 blocks.groupBy("bkey")
                 .cogroup(st.groupBy("bkey"))
@@ -573,7 +615,15 @@ def connected_components_csr(
             st = cut_lineage(
                 st.groupBy("bkey")
                 .cogroup(partials.groupBy("bkey_out"))
-                .applyInPandas(merge_min, _LABEL_STATE_SCHEMA)
+                .applyInPandas(merge_min, _LABEL_STATE_SCHEMA),
+                # EAGER for intermediate rounds of a batch (round-4 probe):
+                # a lazy intermediate is consumed by TWO sibling shuffle
+                # stages of the next round (spmv + merge), whose tasks race
+                # the not-yet-populated cache and recompute the round —
+                # measured 2.4x CPU on the same work. Eager materializes
+                # each round exactly once; the batch's trailing round is
+                # materialized by the `changed` action below.
+                eager=_sub < batch - 1,
             )
         changed = int(st.agg(F.sum("changed")).collect()[0][0] or 0)
         state = st

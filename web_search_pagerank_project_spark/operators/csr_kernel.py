@@ -570,8 +570,12 @@ def pagerank_csr(
             # cut_lineage, NOT plain localCheckpoint: this plan has no
             # Aggregate to clamp estimated stats, so inherited sizeInBytes
             # would square every iteration (see operators/lineage.py).
-            # Lazy — the residual aggregate below is the one action.
-            st = cut_lineage(st)
+            # EAGER for intermediate sub-iterations (round-4 probe): a lazy
+            # intermediate is consumed by TWO sibling shuffle stages of the
+            # next sub-iteration (spmv + merge), whose tasks race the
+            # not-yet-populated cache and recompute the step. The batch's
+            # last state stays lazy — the residual aggregate materializes it.
+            st = cut_lineage(st, eager=_sub < batch - 1)
 
         row = st.agg(F.sqrt(F.sum("res_sq")).alias("r")).collect()[0]
         residual = float(row["r"])

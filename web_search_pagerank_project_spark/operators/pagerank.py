@@ -231,8 +231,13 @@ def pagerank(
                 # plain checkpoint: lineage cut AND hash(id, P) partitioning
                 # carried to the next step (stream side of the SHJ is base,
                 # which is pinned) — the next SpMV/residual joins need no
-                # exchange on the iterate
-                .localCheckpoint(eager=False)
+                # exchange on the iterate. EAGER for intermediate steps of a
+                # fused batch (round-4 probe): a lazy intermediate feeds TWO
+                # sibling shuffle stages of the next step (contribution join
+                # + dangling-mass agg) whose tasks race the unpopulated
+                # cache and recompute the step; the batch's last iterate
+                # stays lazy (the residual action materializes it)
+                .localCheckpoint(eager=sub < batch - 1)
             )
 
         # the one action per batch: residual (between the batch's last two

@@ -41,6 +41,12 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # bound JVM-side Arrow batch buffers: giant batches (100 MB+ of
+        # wide array rows) leave netty's pooled-chunk path and turn into
+        # per-batch mmap/munmap — measured as 190-240 s of kernel time
+        # (page faults + cross-core TLB shootdowns) per 6 CC rounds at
+        # 240M edges. 32 MB keeps batch allocations pooled at any scale.
+        .config("spark.sql.execution.arrow.maxBytesPerBatch", str(32 * 1024 * 1024))
         .config("spark.python.worker.faulthandler.enabled", "true")
         .config("spark.sql.execution.pyspark.udf.faulthandler.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
