@@ -206,10 +206,12 @@ def run_benchmarks(spark):
     # CC via the CSR min-label kernel (kernels pinned label-for-label in
     # tests/test_cc_kernels.py); block build + symmetrize are inside the
     # timing — the bench measures the full operator, end to end
+    # rounds_per_action=1: fused CC batches recompute through the
+    # double-consumer DAG at scale (round-4 task-count probe: 2.2x tasks)
     timed(
         "cc",
         lambda: connected_components_csr(
-            graph, max_rounds=50, rounds_per_action=3
+            graph, max_rounds=50, rounds_per_action=1
         ).count(),
     )
 
@@ -520,11 +522,17 @@ def scale_level_run(
             cc_wall = float("inf")
             for _ in range(SCALE_REPEATS):
                 t0 = time.monotonic()
+                # rounds_per_action=1 (round-4 task-count probe): the fused
+                # CC batch recomputes through its double-consumer DAG at
+                # scale — 355 tasks vs 164 for the same 6 rounds, ~2x wall
+                # and ~2.5x python CPU — while per-round actions compute
+                # each round exactly once. (PR's fused batches do NOT
+                # inflate tasks; this is CC-specific.)
                 connected_components_csr(
                     graph,
                     max_rounds=SCALE_CC_ROUNDS,
                     blocks=cc_blocks,
-                    rounds_per_action=SCALE_CC_ROUNDS,
+                    rounds_per_action=1,
                     raise_on_cap=False,
                     frontier=False,
                 ).count()
@@ -756,6 +764,10 @@ def scaling_run() -> None:
             "cc_blocks": SCALE_CC_BLOCKS, "sessions": SCALE_SESSIONS,
             "cc_sessions": SCALE_CC_SESSIONS, "session_settle": True,
             "cc_dense_rounds": True, "cc_own_process": True,
+            # round-4 kernel fixes: bounded (chunked) min-label block rows
+            # + eager intermediate lineage cuts in fused batches — these
+            # change what a wall measures, so they key the acceptance pool
+            "kernel_rev": "r4-chunked",
             "steal_retry_pct": STEAL_RETRY_PCT,
         },
     }
@@ -789,13 +801,18 @@ def _protocol_collections(history: list[dict]) -> list[dict]:
     The per-kernel-process + dense-CC-rounds protocol (round 4) changed what
     a CC number MEANS (earlier collections measured a GC-polluted JVM and
     data-dependent frontier work), so the acceptance statistic only pools
-    records taken under it. Every record stays in the history table either
+    records taken under it. Late round 4 changed the KERNEL itself (chunked
+    min-label block rows after the mmap/TLB-shootdown diagnosis + eager
+    intermediate cuts in fused batches, see PLANS.md §5d), which again
+    changed what a wall measures — the pool is therefore keyed on
+    kernel_rev as well. Every record stays in the history table either
     way — the filter picks what is averaged, never what is shown.
     """
     return [
         h for h in history
         if h.get("params", {}).get("cc_own_process")
         and h.get("params", {}).get("cc_dense_rounds")
+        and h.get("params", {}).get("kernel_rev") == "r4-chunked"
         # guard against small-parameter experiment runs (env-overridden
         # WSPR_SCALE_*) silently joining the acceptance pool
         and h.get("params", {}).get("edges") == SCALE_EDGES

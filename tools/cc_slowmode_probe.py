@@ -164,7 +164,10 @@ def _level_child(cores: int, edges: int, verts: int, rounds: int) -> None:
         core_list = list(range(cores))
         out = {"cores": cores, "edges": edges, "rounds": rounds}
 
-        for mode, rpa in (("per_round", 1), ("batched", rounds)):
+        mode_list = [("per_round", 1), ("batched", rounds)]
+        if os.environ.get("WSPR_PROBE_BATCHED_FIRST"):
+            mode_list.reverse()
+        for mode, rpa in mode_list:
             st0, steal0 = bench._steal_sample(cores)
             g0, j0, p0 = gc_ms(), _read_stat_cpu(jvm_pid), py_cpu()
             sampler = _CoreSampler(core_list)

@@ -570,12 +570,14 @@ def pagerank_csr(
             # cut_lineage, NOT plain localCheckpoint: this plan has no
             # Aggregate to clamp estimated stats, so inherited sizeInBytes
             # would square every iteration (see operators/lineage.py).
-            # EAGER for intermediate sub-iterations (round-4 probe): a lazy
-            # intermediate is consumed by TWO sibling shuffle stages of the
-            # next sub-iteration (spmv + merge), whose tasks race the
-            # not-yet-populated cache and recompute the step. The batch's
-            # last state stays lazy — the residual aggregate materializes it.
-            st = cut_lineage(st, eager=_sub < batch - 1)
+            # Lazy — the residual aggregate below is the one action. (A
+            # round-4 probe tried eager intermediate cuts here: task counts
+            # are IDENTICAL lazy vs eager for this kernel — fused batches do
+            # not recompute the iterate, unlike the CC round whose batched
+            # mode inflates tasks 2.2x, see components.py — and the extra
+            # eager jobs only serialized the batch, walls 13 s -> 24 s at
+            # 240M edges/8 cores. Keep lazy.)
+            st = cut_lineage(st)
 
         row = st.agg(F.sqrt(F.sum("res_sq")).alias("r")).collect()[0]
         residual = float(row["r"])

@@ -231,13 +231,11 @@ def pagerank(
                 # plain checkpoint: lineage cut AND hash(id, P) partitioning
                 # carried to the next step (stream side of the SHJ is base,
                 # which is pinned) — the next SpMV/residual joins need no
-                # exchange on the iterate. EAGER for intermediate steps of a
-                # fused batch (round-4 probe): a lazy intermediate feeds TWO
-                # sibling shuffle stages of the next step (contribution join
-                # + dangling-mass agg) whose tasks race the unpopulated
-                # cache and recompute the step; the batch's last iterate
-                # stays lazy (the residual action materializes it)
-                .localCheckpoint(eager=sub < batch - 1)
+                # exchange on the iterate. Lazy on purpose (round-4 probe):
+                # fused PR batches do NOT recompute the iterate (task counts
+                # identical lazy vs eager), and eager intermediate jobs only
+                # serialize the batch
+                .localCheckpoint(eager=False)
             )
 
         # the one action per batch: residual (between the batch's last two
