@@ -292,7 +292,13 @@ SCALE_N = int(os.environ.get("WSPR_SCALE_CORES", "2"))  # N; 4N is 4*this
 SCALE_EDGES = int(os.environ.get("WSPR_SCALE_EDGES", str(240_000_000)))
 SCALE_VERTS = int(os.environ.get("WSPR_SCALE_VERTS", str(2_000_000)))
 SCALE_ITERS = int(os.environ.get("WSPR_SCALE_ITERS", "6"))
-SCALE_CC_ROUNDS = int(os.environ.get("WSPR_SCALE_CC_ROUNDS", "4"))
+# 8 dense rounds (was 4): with the chunked kernel the per-round slope is
+# ~1.6-1.9 s at BOTH levels (tools/cc_slowmode_probe.py), so the one-time
+# tail (state init + posexplode + count) dominated a 4-round wall and its
+# own scaling noise swamped the slope's. A real 10^12-edge CC runs tens of
+# rounds; 8 keeps the measured quantity per-round throughput, which is
+# what the north_rule's efficiency criterion is about.
+SCALE_CC_ROUNDS = int(os.environ.get("WSPR_SCALE_CC_ROUNDS", "8"))
 SCALE_REPEATS = int(os.environ.get("WSPR_SCALE_REPEATS", "3"))
 # power iterations fused per Spark action (driver-latency amortization;
 # identical numerics — see csr_kernel.pagerank_csr)
@@ -620,7 +626,7 @@ def _sessions_with_steal_retry(run, n: int = SCALE_SESSIONS) -> list[dict]:
     returned list (never drop data; min() ignores them anyway since
     steal only slows a run)."""
     sessions, retried = [], False
-    for _ in range(SCALE_SESSIONS):
+    for _ in range(n):
         r = run()
         if not retried and r.get("steal_pct", 0.0) > STEAL_RETRY_PCT:
             retried = True
