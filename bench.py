@@ -941,8 +941,10 @@ latency amortized). CC: {p['cc_rounds']} DENSE min-label rounds (fixed;
 frontier masking disabled for the scaled metric — dense-round volume is
 a pure function of (K, V, E), so a fixed round count is fixed WORK at
 every level, where frontier volume depends on where the particular
-input graph happens to converge) over the CSR min-label kernel, all
-rounds in one action, x {p['repeats']} repeats min; symmetrized edges
+input graph happens to converge) over the CSR min-label kernel, one
+action per round (fused CC batches recompute through the round's
+double-consumer DAG at scale — 2.2x tasks, ~2x wall; task-count probe,
+PLANS.md §5d), x {p['repeats']} repeats min; symmetrized edges
 and block packing are staged setup, not the scaled metric (same
 discipline as the graph build itself). CC runs in its OWN pinned
 process, separate from the PageRank measurements: a JVM whose heap had
@@ -972,10 +974,14 @@ WEAK efficiency:   PR-CSR **{weak['pr_csr']:.3f}**, PR-DF
 **{weak['pr_df']:.3f}**, CC **{weak['cc']:.3f}**
 
 Acceptance (north_rule >= 0.8). The statistic is the MEDIAN over every
-collection taken under the current protocol (per-kernel pinned process +
-fixed dense CC rounds; earlier collections measured a different thing —
-GC-polluted JVMs and data-dependent frontier work — and are shown in the
-history table but not pooled). A single collection on this shared VM
+collection taken under the current protocol AND kernel revision
+(kernel_rev=r4-chunked: bounded min-label block rows + per-round
+actions, after the mmap/TLB-shootdown diagnosis in PLANS.md §5d turned
+the big level's 120-240 MB Arrow cells into pooled 8 MB chunks; earlier
+collections measured a different artifact — first GC-polluted JVMs and
+data-dependent frontier work, then the unchunked kernel whose big-level
+walls were 1.7-3.5x these — and are shown in the history table but not
+pooled). A single collection on this shared VM
 moves +/-0.06-0.08 run-to-run (visible in the table below); the median is
 the pre-declared robust estimator and is recomputed symmetrically every
 run — it can move DOWN as easily as up, and no collection is ever
@@ -1009,10 +1015,13 @@ rather than being silently dropped:
 {(f"- CC, read against hardware: the bare-metal bus probe of CC's own "
   f"access pattern weak-scales at {cc_probe['weak_efficiency']:.2f} "
   f"(decomposition below) — the hardware imposes NO ceiling on this "
-  f"shape, so the CC spread across collections is session-level "
-  f"variance (JVM heap/GC luck, shared-VM neighbors), not kernel "
-  f"design; the pre-declared median is the estimator that absorbs "
-  f"exactly that, and it reads {med_weak['cc']:.3f}." ) if cc_probe else ""}
+  f"shape. Round 4 found and removed the actual ceiling: the old "
+  f"bimodal 'slow mode' was kernel page-fault/TLB-shootdown churn from "
+  f"120-240 MB unpooled Arrow cells (per-thread attribution: 190-240 s "
+  f"stime vs ~22 s utime per 6 rounds; PLANS.md §5d), fixed by chunked "
+  f"block rows — big-level CC fell from 4.1-8.9 s/round to "
+  f"1.1-1.6 s/round, on top of the lo level; the pooled median reads "
+  f"{med_weak['cc']:.3f}." ) if cc_probe else ""}
 
 Both kernels compute bit-comparable scores (tests pin them at 1e-12);
 their relative wall times at a given level depend on where the machine
