@@ -323,3 +323,110 @@ def k_core_oracle(
             del adj[u]
             changed = True
     return {u: len(nb) for u, nb in adj.items()}
+
+
+def scc_oracle(edge_rows: list[tuple[str, str]]) -> dict[str, str]:
+    """Strongly connected components via iterative Tarjan; returns
+    {url: scc_label_url} where the label is the lexicographically smallest
+    url in the SCC (matches the engine's min-member semantics).
+    Vertices = all edge endpoints; self-loops are singletons (the engine
+    drops them before phase work, which cannot merge anything)."""
+    adj: dict[str, list[str]] = {}
+    for s, t in edge_rows:
+        adj.setdefault(s, [])
+        adj.setdefault(t, [])
+        if s != t:
+            adj[s].append(t)
+
+    index: dict[str, int] = {}
+    low: dict[str, int] = {}
+    on_stack: set[str] = set()
+    stack: list[str] = []
+    label: dict[str, str] = {}
+    counter = [0]
+
+    def strongconnect(root: str) -> None:
+        work = [(root, 0)]
+        while work:
+            v, pi = work.pop()
+            if pi == 0:
+                index[v] = low[v] = counter[0]
+                counter[0] += 1
+                stack.append(v)
+                on_stack.add(v)
+            recurse = False
+            for i in range(pi, len(adj[v])):
+                w = adj[v][i]
+                if w not in index:
+                    work.append((v, i + 1))
+                    work.append((w, 0))
+                    recurse = True
+                    break
+                elif w in on_stack:
+                    low[v] = min(low[v], index[w])
+            if recurse:
+                continue
+            if low[v] == index[v]:
+                comp = []
+                while True:
+                    w = stack.pop()
+                    on_stack.discard(w)
+                    comp.append(w)
+                    if w == v:
+                        break
+                m = min(comp)
+                for w in comp:
+                    label[w] = m
+            if work:
+                parent = work[-1][0]
+                low[parent] = min(low[parent], low[v])
+
+    for v in adj:
+        if v not in index:
+            strongconnect(v)
+    return label
+
+
+def bowtie_oracle(edge_rows: list[tuple[str, str]]) -> dict[str, str]:
+    """Broder bow-tie classes from scc_oracle: CORE = largest SCC (ties:
+    min label), IN = reaches CORE, OUT = reached from CORE, OTHER = rest."""
+    scc = scc_oracle(edge_rows)
+    sizes: dict[str, int] = {}
+    for lbl in scc.values():
+        sizes[lbl] = sizes.get(lbl, 0) + 1
+    core_id = min(sizes, key=lambda x: (-sizes[x], x))
+    core = {u for u, lbl in scc.items() if lbl == core_id}
+
+    fwd: dict[str, set[str]] = {u: set() for u in scc}
+    bwd: dict[str, set[str]] = {u: set() for u in scc}
+    for s, t in edge_rows:
+        if s != t:
+            fwd[s].add(t)
+            bwd[t].add(s)
+
+    def closure(seeds: set[str], nbrs: dict[str, set[str]]) -> set[str]:
+        seen = set(seeds)
+        frontier = list(seeds)
+        while frontier:
+            nxt = []
+            for u in frontier:
+                for w in nbrs[u]:
+                    if w not in seen:
+                        seen.add(w)
+                        nxt.append(w)
+            frontier = nxt
+        return seen
+
+    reaches = closure(core, bwd)
+    reached = closure(core, fwd)
+    out: dict[str, str] = {}
+    for u in scc:
+        if u in core:
+            out[u] = "CORE"
+        elif u in reaches:
+            out[u] = "IN"
+        elif u in reached:
+            out[u] = "OUT"
+        else:
+            out[u] = "OTHER"
+    return out

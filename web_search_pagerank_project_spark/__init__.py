@@ -23,6 +23,7 @@ from .operators.components import (
 )
 from .operators.hits import hits, HitsResult
 from .operators.kcore import k_core
+from .operators.scc import strongly_connected_components, bowtie_classes, SccResult
 from .operators.labelprop import label_propagation
 from .operators.triangles import triangle_count
 from .functions.query import query_predicate, make_personalization_vector
@@ -45,6 +46,9 @@ __all__ = [
     "hits",
     "HitsResult",
     "k_core",
+    "strongly_connected_components",
+    "bowtie_classes",
+    "SccResult",
     "label_propagation",
     "triangle_count",
     "query_predicate",
