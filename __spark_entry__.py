@@ -568,6 +568,40 @@ def q_kcore_6(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X11: strongly connected components (url -> min-url of its SCC) via
+    FW-BW coloring (operators/scc.py). Oracle: directed transitive closure
+    (recursive CTE) + mutual-reachability min — exact at the contract SF.
+    Dense ids are assigned in url sort order, so id-min == url-min."""
+    from web_search_pagerank_project_spark import (
+        build_graph,
+        strongly_connected_components,
+    )
+
+    graph = build_graph(_edges(spark, sf_dir), cache=True)
+    res = strongly_connected_components(graph)
+    lab = res.labels.join(graph.vertices, "id").select("url", "scc")
+    min_urls = graph.vertices.select(
+        F.col("id").alias("scc"), F.col("url").alias("scc_url")
+    )
+    return lab.join(min_urls, "scc").select("url", "scc_url").orderBy("url")
+
+
+def q_bowtie_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X12: Broder bow-tie class sizes (CORE/IN/OUT/OTHER) against the
+    largest SCC (operators/scc.py:bowtie_classes). Oracle: the same classes
+    from the directed closure — IN reaches CORE, OUT is reached from it."""
+    from web_search_pagerank_project_spark import build_graph, bowtie_classes
+
+    graph = build_graph(_edges(spark, sf_dir), cache=True)
+    cls = bowtie_classes(graph)
+    return (
+        cls.groupBy("cls")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("cls"))
+    )
+
+
 def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X5: LPA community sizes after 5 synchronous rounds. Oracle: the same
     5 rounds unrolled in SQL (argmax-count labels, min-label tie-break);
@@ -993,6 +1027,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangle_count": q_triangle_count,
         "triangles_per_vertex": q_triangles_per_vertex,
         "connected_components": q_connected_components,
+        "scc": q_scc,
+        "bowtie_classes": q_bowtie_classes,
         "label_propagation": q_label_propagation,
         "kcore_6": q_kcore_6,
         "lineitem_pricing_summary": q_lineitem_pricing_summary,
@@ -1231,6 +1267,69 @@ def oracle_sql() -> dict[str, str]:
         SELECT component_url, CAST(COUNT(*) AS BIGINT) AS size
         FROM comp GROUP BY component_url
         ORDER BY size DESC, component_url
+        """,
+        # directed transitive closure + mutual reachability: u,v share an
+        # SCC iff reach(u,v) AND reach(v,u); MIN over the mutual set is the
+        # canonical label (operators/scc.py semantics). Exact at the
+        # contract SF (closure <= |V|^2 = 10^4 pairs).
+        "scc": f"""
+        WITH RECURSIVE e AS ({_EDGES_SQL}),
+        verts AS (
+            SELECT DISTINCT url FROM (
+                SELECT src AS url FROM e UNION ALL SELECT dst AS url FROM e
+            )
+        ),
+        de AS (SELECT DISTINCT src, dst FROM e WHERE src <> dst),
+        reach(a, b) AS (
+            SELECT url, url FROM verts
+            UNION
+            SELECT r.a, d.dst FROM reach r JOIN de d ON r.b = d.src
+        )
+        SELECT r1.a AS url, MIN(r1.b) AS scc_url
+        FROM reach r1 JOIN reach r2 ON r1.a = r2.b AND r1.b = r2.a
+        GROUP BY r1.a ORDER BY url
+        """,
+        # bow-tie against the largest SCC: the core's min member is a valid
+        # reachability representative (the core is strongly connected, so
+        # reaching one member == reaching all)
+        "bowtie_classes": f"""
+        WITH RECURSIVE e AS ({_EDGES_SQL}),
+        verts AS (
+            SELECT DISTINCT url FROM (
+                SELECT src AS url FROM e UNION ALL SELECT dst AS url FROM e
+            )
+        ),
+        de AS (SELECT DISTINCT src, dst FROM e WHERE src <> dst),
+        reach(a, b) AS (
+            SELECT url, url FROM verts
+            UNION
+            SELECT r.a, d.dst FROM reach r JOIN de d ON r.b = d.src
+        ),
+        scc AS (
+            SELECT r1.a AS url, MIN(r1.b) AS scc_url
+            FROM reach r1 JOIN reach r2 ON r1.a = r2.b AND r1.b = r2.a
+            GROUP BY r1.a
+        ),
+        core_id AS (
+            SELECT scc_url FROM (
+                SELECT scc_url, COUNT(*) AS sz FROM scc GROUP BY scc_url
+            ) ORDER BY sz DESC, scc_url LIMIT 1
+        ),
+        cls AS (
+            SELECT s.url,
+                   CASE WHEN s.scc_url = (SELECT scc_url FROM core_id)
+                            THEN 'CORE'
+                        WHEN EXISTS (SELECT 1 FROM reach r WHERE r.a = s.url
+                                     AND r.b = (SELECT scc_url FROM core_id))
+                            THEN 'IN'
+                        WHEN EXISTS (SELECT 1 FROM reach r WHERE r.b = s.url
+                                     AND r.a = (SELECT scc_url FROM core_id))
+                            THEN 'OUT'
+                        ELSE 'OTHER' END AS cls
+            FROM scc s
+        )
+        SELECT cls, CAST(COUNT(*) AS BIGINT) AS n
+        FROM cls GROUP BY cls ORDER BY n DESC, cls
         """,
         "label_propagation": _lpa_oracle_sql(5),
         # 4 unrolled rounds: measured sync peel depth at the contract SF is

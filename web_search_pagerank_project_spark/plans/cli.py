@@ -7,7 +7,8 @@ Usage (same flags as the reference, so a user can switch 1:1):
         --data data/small.csv.gz --search_query corona --verbose
 
 Extra engine flags: --master, --partitions, --checkpoint_dir, --algorithm
-(pagerank | components | labelprop | triangles), --kernel (dataframe | csr).
+(pagerank | components | labelprop | triangles | hits | kcore | scc |
+bowtie), --kernel (dataframe | csr), --k (kcore threshold).
 """
 
 from __future__ import annotations
@@ -35,7 +36,22 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument(
         "--algorithm",
         default="pagerank",
-        choices=["pagerank", "components", "labelprop", "triangles"],
+        choices=[
+            "pagerank",
+            "components",
+            "labelprop",
+            "triangles",
+            "hits",
+            "kcore",
+            "scc",
+            "bowtie",
+        ],
+    )
+    parser.add_argument(
+        "--k",
+        type=int,
+        default=2,
+        help="k for --algorithm kcore (within-core degree threshold)",
     )
     parser.add_argument(
         "--kernel",
@@ -104,6 +120,40 @@ def main(argv: list[str] | None = None) -> None:
 
             out = label_propagation(graph).join(graph.vertices, "id").select(
                 "url", "label"
+            )
+        elif args.algorithm == "hits":
+            from ..operators.hits import hits
+
+            res = hits(
+                graph, max_iterations=args.max_iterations, epsilon=args.epsilon
+            )
+            out = res.by_url(graph).orderBy("url")
+        elif args.algorithm == "kcore":
+            from ..operators.kcore import k_core
+
+            out = (
+                k_core(graph, args.k)
+                .join(graph.vertices, "id")
+                .select("url", "core_degree")
+                .orderBy("url")
+            )
+        elif args.algorithm == "scc":
+            from ..operators.scc import strongly_connected_components
+
+            out = (
+                strongly_connected_components(graph)
+                .labels.join(graph.vertices, "id")
+                .select("url", "scc")
+                .orderBy("url")
+            )
+        elif args.algorithm == "bowtie":
+            from ..operators.scc import bowtie_classes
+
+            out = (
+                bowtie_classes(graph)
+                .join(graph.vertices, "id")
+                .select("url", "cls")
+                .orderBy("url")
             )
         else:
             from ..operators.triangles import triangle_count
