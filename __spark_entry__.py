@@ -536,6 +536,71 @@ def q_triangles_per_vertex(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X6 (normalized form): local clustering coefficient —
+    2*tri(v)/(deg(v)*(deg(v)-1)) over the dedup undirected graph, 0 for
+    deg<2 (triangles.py::clustering_coefficient, same oriented wedge
+    plan). Oracle recomputes it from the shared oriented CTEs."""
+    from web_search_pagerank_project_spark import build_graph, clustering_coefficient
+
+    graph = build_graph(_edges(spark, sf_dir), cache=True)
+    cc = clustering_coefficient(graph)
+    return (
+        cc.join(graph.vertices, "id")
+        .select("url", F.round("coeff", 6).alias("coeff"))
+        .orderBy("url")
+    )
+
+
+def q_bfs_depths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X13: directed BFS hop distances from seed url 'n1'
+    (operators/bfs.py). Oracle: depth-bounded recursive walk closure with
+    MIN(d) per vertex — identical to synchronous frontier levels."""
+    from web_search_pagerank_project_spark import bfs_distances, build_graph
+
+    graph = build_graph(_edges(spark, sf_dir), cache=True)
+    dist = bfs_distances(graph, seed_predicate=F.col("url") == "n1")
+    return dist.join(graph.vertices, "id").select("url", "dist").orderBy("url")
+
+
+def q_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X14: edge reciprocity of the dedup simple digraph (single scalar
+    row; operators/metrics.py::reciprocity)."""
+    from web_search_pagerank_project_spark import build_graph, reciprocity
+
+    graph = build_graph(_edges(spark, sf_dir), cache=True)
+    r = reciprocity(graph)
+    return spark.createDataFrame([(round(r, 6),)], "reciprocity double")
+
+
+def q_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X15: total-degree histogram over the dedup simple digraph, incl.
+    the degree-0 row (operators/metrics.py::degree_histogram)."""
+    from web_search_pagerank_project_spark import build_graph, degree_histogram
+
+    graph = build_graph(_edges(spark, sf_dir), cache=True)
+    return degree_histogram(graph, "total").orderBy("degree")
+
+
+def q_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X16: top-20 non-adjacent pairs by common-neighbor count
+    (operators/linkpred.py). Deterministic order (common desc, jaccard
+    desc, then pair); dense-id pair canonicalization == url-lexicographic
+    because ids are assigned in url sort order."""
+    from web_search_pagerank_project_spark import build_graph, common_neighbors_topk
+
+    graph = build_graph(_edges(spark, sf_dir), cache=True)
+    top = common_neighbors_topk(graph, k=20)
+    ua = graph.vertices.select(F.col("id").alias("id_a"), F.col("url").alias("url_a"))
+    ub = graph.vertices.select(F.col("id").alias("id_b"), F.col("url").alias("url_b"))
+    return (
+        top.join(ua, "id_a")
+        .join(ub, "id_b")
+        .select("url_a", "url_b", "common", F.round("jaccard", 6).alias("jaccard"))
+        .orderBy(F.desc("common"), F.desc("jaccard"), "url_a", "url_b")
+    )
+
+
 def q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X4: exact CC assignments (url -> component min-url). Iterative —
     no SQL oracle; verified vs union-find oracle in tests."""
@@ -1026,6 +1091,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "limit_prefix_edges": q_limit_prefix_edges,
         "triangle_count": q_triangle_count,
         "triangles_per_vertex": q_triangles_per_vertex,
+        "clustering_coeff": q_clustering_coeff,
+        "bfs_depths": q_bfs_depths,
+        "reciprocity": q_reciprocity,
+        "degree_histogram": q_degree_histogram,
+        "common_neighbors": q_common_neighbors,
         "connected_components": q_connected_components,
         "scc": q_scc,
         "bowtie_classes": q_bowtie_classes,
@@ -1185,6 +1255,113 @@ def oracle_sql() -> dict[str, str]:
             SELECT url, COUNT(*) AS c FROM corners GROUP BY url
         ) cnt ON verts.url = cnt.url
         ORDER BY verts.url
+        """,
+        "clustering_coeff": _GRAPH_SQL_PREFIX
+        + _ORIENTED_SQL
+        + """
+        , tri AS (
+            SELECT e1.a AS w_a, e1.b AS w_b, e2.b AS w_c
+            FROM oriented e1
+            JOIN oriented e2 ON e1.b = e2.a
+            JOIN oriented e3 ON e3.a = e1.a AND e3.b = e2.b
+        ),
+        corners AS (
+            SELECT w_a AS url FROM tri
+            UNION ALL SELECT w_b FROM tri
+            UNION ALL SELECT w_c FROM tri
+        ),
+        tcnt AS (SELECT url, COUNT(*) AS c FROM corners GROUP BY url)
+        SELECT verts.url,
+               ROUND(CASE WHEN COALESCE(deg.d, 0) >= 2
+                          THEN 2.0 * COALESCE(tcnt.c, 0) / (deg.d * (deg.d - 1))
+                          ELSE 0.0 END, 6) AS coeff
+        FROM verts
+        LEFT JOIN deg ON verts.url = deg.id
+        LEFT JOIN tcnt ON verts.url = tcnt.url
+        ORDER BY verts.url
+        """,
+        # depth-bounded directed walk closure; MIN(d) per vertex == BFS
+        # level (the bound only has to exceed the true diameter <= |V|)
+        "bfs_depths": f"""
+        WITH RECURSIVE e AS ({_EDGES_SQL}),
+        verts AS (
+            SELECT DISTINCT url FROM (
+                SELECT src AS url FROM e UNION ALL SELECT dst AS url FROM e
+            )
+        ),
+        de AS (SELECT DISTINCT src, dst FROM e WHERE src <> dst),
+        walk(url, d) AS (
+            SELECT url, 0 FROM verts WHERE url = 'n1'
+            UNION
+            SELECT de.dst, w.d + 1 FROM walk w JOIN de ON w.url = de.src
+            WHERE w.d < 200
+        )
+        SELECT url, CAST(MIN(d) AS INTEGER) AS dist
+        FROM walk GROUP BY url ORDER BY url
+        """,
+        "reciprocity": f"""
+        WITH e AS ({_EDGES_SQL}),
+        de AS (SELECT DISTINCT src, dst FROM e WHERE src <> dst)
+        SELECT ROUND(
+            (SELECT COUNT(*) FROM de a JOIN de b
+             ON a.src = b.dst AND a.dst = b.src) * 1.0
+            / (SELECT COUNT(*) FROM de), 6) AS reciprocity
+        """,
+        "degree_histogram": f"""
+        WITH e AS ({_EDGES_SQL}),
+        verts AS (
+            SELECT DISTINCT url FROM (
+                SELECT src AS url FROM e UNION ALL SELECT dst AS url FROM e
+            )
+        ),
+        de AS (SELECT DISTINCT src, dst FROM e WHERE src <> dst),
+        dd AS (
+            SELECT id, COUNT(*) AS degree FROM (
+                SELECT src AS id FROM de UNION ALL SELECT dst AS id FROM de
+            ) GROUP BY id
+        ),
+        dense AS (
+            SELECT CAST(COALESCE(dd.degree, 0) AS BIGINT) AS degree
+            FROM verts LEFT JOIN dd ON verts.url = dd.id
+        )
+        SELECT degree, CAST(COUNT(*) AS BIGINT) AS n_vertices
+        FROM dense GROUP BY degree ORDER BY degree
+        """,
+        # wedge enumeration over the symmetric adjacency; pair canonical
+        # order (leaf <) matches the engine's id order because dense ids
+        # are assigned in url sort order. jaccard is a small-int ratio —
+        # bit-identical float64 in both engines, safe as a sort key.
+        "common_neighbors": f"""
+        WITH e AS ({_EDGES_SQL}),
+        und AS (
+            SELECT DISTINCT LEAST(src, dst) AS u, GREATEST(src, dst) AS v
+            FROM e WHERE src <> dst
+        ),
+        adj AS (
+            SELECT u AS center, v AS leaf FROM und
+            UNION ALL SELECT v AS center, u AS leaf FROM und
+        ),
+        deg AS (SELECT center AS id, COUNT(*) AS d FROM adj GROUP BY center),
+        pairs AS (
+            SELECT a1.leaf AS ua, a2.leaf AS ub, COUNT(*) AS common
+            FROM adj a1 JOIN adj a2
+              ON a1.center = a2.center AND a1.leaf < a2.leaf
+            GROUP BY a1.leaf, a2.leaf
+        ),
+        cand AS (
+            SELECT p.* FROM pairs p
+            WHERE NOT EXISTS (
+                SELECT 1 FROM und WHERE und.u = p.ua AND und.v = p.ub
+            )
+        )
+        SELECT ua AS url_a, ub AS url_b, CAST(common AS BIGINT) AS common,
+               ROUND(common * 1.0 / (da.d + db.d - common), 6) AS jaccard
+        FROM cand
+        JOIN deg da ON cand.ua = da.id
+        JOIN deg db ON cand.ub = db.id
+        ORDER BY common DESC,
+                 common * 1.0 / (da.d + db.d - common) DESC, ua, ub
+        LIMIT 20
         """,
         "lineitem_pricing_summary": """
         SELECT l_returnflag, l_linestatus,

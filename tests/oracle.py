@@ -430,3 +430,115 @@ def bowtie_oracle(edge_rows: list[tuple[str, str]]) -> dict[str, str]:
         else:
             out[u] = "OTHER"
     return out
+
+
+def bfs_oracle(
+    edge_rows: list[tuple[str, str]],
+    seeds: set[str],
+    direction: str = "forward",
+) -> dict[str, int]:
+    """Hop distances from the seed set over the directed graph (reversed
+    when direction='backward'); unreachable vertices are absent."""
+    adj: dict[str, set[str]] = {}
+    for s, t in edge_rows:
+        adj.setdefault(s, set())
+        adj.setdefault(t, set())
+        if s != t:
+            if direction == "forward":
+                adj[s].add(t)
+            else:
+                adj[t].add(s)
+    dist = {u: 0 for u in seeds if u in adj}
+    frontier = list(dist)
+    d = 0
+    while frontier:
+        d += 1
+        nxt = []
+        for u in frontier:
+            for w in adj[u]:
+                if w not in dist:
+                    dist[w] = d
+                    nxt.append(w)
+        frontier = nxt
+    return dist
+
+
+def _und_adj(edge_rows: list[tuple[str, str]]) -> dict[str, set[str]]:
+    adj: dict[str, set[str]] = {}
+    for s, t in edge_rows:
+        adj.setdefault(s, set())
+        adj.setdefault(t, set())
+        if s != t:
+            adj[s].add(t)
+            adj[t].add(s)
+    return adj
+
+
+def clustering_oracle(edge_rows: list[tuple[str, str]]) -> dict[str, float]:
+    """Local clustering coefficient over the deduplicated undirected graph;
+    0.0 for degree < 2."""
+    adj = _und_adj(edge_rows)
+    out = {}
+    for u, nb in adj.items():
+        d = len(nb)
+        if d < 2:
+            out[u] = 0.0
+            continue
+        links = 0
+        nbl = list(nb)
+        for i in range(d):
+            for j in range(i + 1, d):
+                if nbl[j] in adj[nbl[i]]:
+                    links += 1
+        out[u] = 2.0 * links / (d * (d - 1))
+    return out
+
+
+def reciprocity_oracle(edge_rows: list[tuple[str, str]]) -> float:
+    e = {(s, t) for s, t in edge_rows if s != t}
+    if not e:
+        return 0.0
+    return sum(1 for s, t in e if (t, s) in e) / len(e)
+
+
+def degree_histogram_oracle(
+    edge_rows: list[tuple[str, str]], direction: str = "out"
+) -> dict[int, int]:
+    e = {(s, t) for s, t in edge_rows if s != t}
+    verts = {x for st in edge_rows for x in st}
+    deg = {u: 0 for u in verts}
+    for s, t in e:
+        if direction in ("out", "total"):
+            deg[s] += 1
+        if direction in ("in", "total"):
+            deg[t] += 1
+    hist: dict[int, int] = {}
+    for d in deg.values():
+        hist[d] = hist.get(d, 0) + 1
+    return hist
+
+
+def common_neighbors_oracle(
+    edge_rows: list[tuple[str, str]],
+    max_center_degree: int | None = None,
+) -> dict[tuple[str, str], tuple[int, float]]:
+    """{(a, b): (common, jaccard)} for non-adjacent pairs a < b with at
+    least one shared neighbor; centers above the degree cap generate no
+    wedges (and are excluded from the common count), but jaccard uses the
+    uncapped neighborhood sizes — mirrors operators/linkpred.py."""
+    adj = _und_adj(edge_rows)
+    out: dict[tuple[str, str], int] = {}
+    for w, nb in adj.items():
+        if max_center_degree is not None and len(nb) > max_center_degree:
+            continue
+        nbl = sorted(nb)
+        for i in range(len(nbl)):
+            for j in range(i + 1, len(nbl)):
+                a, b = nbl[i], nbl[j]
+                if b in adj[a]:
+                    continue
+                out[(a, b)] = out.get((a, b), 0) + 1
+    return {
+        p: (c, c / (len(adj[p[0]]) + len(adj[p[1]]) - c))
+        for p, c in out.items()
+    }

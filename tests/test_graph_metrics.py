@@ -1,0 +1,213 @@
+"""BFS distances, clustering coefficient, reciprocity, degree histogram,
+and common-neighbor link prediction vs pure-python oracles."""
+
+import math
+import random
+
+import pytest
+from conftest import SMALL_EDGES
+from oracle import (
+    bfs_oracle,
+    clustering_oracle,
+    common_neighbors_oracle,
+    degree_histogram_oracle,
+    reciprocity_oracle,
+)
+from pyspark.sql import functions as F
+
+from web_search_pagerank_project_spark import (
+    bfs_distances,
+    build_graph,
+    clustering_coefficient,
+    common_neighbors_topk,
+    degree_histogram,
+    reciprocity,
+)
+
+
+def build(spark, rows):
+    df = spark.createDataFrame(rows, "src string, dst string")
+    return build_graph(df, cache=True)
+
+
+def rand_rows(seed, n=30, m=90):
+    rng = random.Random(seed)
+    return [(f"n{rng.randrange(n):02d}", f"n{rng.randrange(n):02d}") for _ in range(m)]
+
+
+def url_of(graph):
+    return {r["id"]: r["url"] for r in graph.vertices.collect()}
+
+
+# ---- BFS ----
+
+
+def bfs_by_url(graph, **kw):
+    ids = url_of(graph)
+    rows = bfs_distances(graph, **kw).collect()
+    return {ids[r["id"]]: r["dist"] for r in rows}
+
+
+def test_bfs_small_forward(spark):
+    graph = build(spark, SMALL_EDGES)
+    got = bfs_by_url(graph, seed_predicate=F.col("url") == "1")
+    assert got == bfs_oracle(SMALL_EDGES, {"1"})
+    graph.unpersist()
+
+
+def test_bfs_backward_and_chain_depths(spark):
+    rows = [("a", "b"), ("b", "c"), ("c", "d"), ("x", "d"), ("d", "a")]
+    graph = build(spark, rows)
+    fwd = bfs_by_url(graph, seed_predicate=F.col("url") == "a")
+    assert fwd == bfs_oracle(rows, {"a"}) == {"a": 0, "b": 1, "c": 2, "d": 3}
+    bwd = bfs_by_url(graph, seed_predicate=F.col("url") == "d", direction="backward")
+    assert bwd == bfs_oracle(rows, {"d"}, "backward")
+    assert bwd["x"] == 1 and bwd["a"] == 3
+    graph.unpersist()
+
+
+def test_bfs_multi_seed_and_unreachable(spark):
+    rows = [("a", "b"), ("c", "d"), ("z1", "z2")]
+    graph = build(spark, rows)
+    got = bfs_by_url(graph, seed_predicate=F.col("url").isin("a", "c"))
+    assert got == bfs_oracle(rows, {"a", "c"}) == {"a": 0, "c": 0, "b": 1, "d": 1}
+    assert "z1" not in got  # unreachable vertices are absent
+    graph.unpersist()
+
+
+def test_bfs_seed_ids_and_arg_validation(spark):
+    rows = [("a", "b"), ("b", "c")]
+    graph = build(spark, rows)
+    ids = {r["url"]: r["id"] for r in graph.vertices.collect()}
+    got = {r["id"]: r["dist"] for r in bfs_distances(graph, seed_ids=[ids["b"]]).collect()}
+    assert got == {ids["b"]: 0, ids["c"]: 1}
+    with pytest.raises(ValueError):
+        bfs_distances(graph)
+    with pytest.raises(ValueError):
+        bfs_distances(graph, seed_ids=[0], seed_predicate=F.lit(True))
+    graph.unpersist()
+
+
+def test_bfs_random_matches_oracle(spark):
+    rows = rand_rows(13)
+    graph = build(spark, rows)
+    got = bfs_by_url(graph, seed_predicate=F.col("url") == "n00")
+    assert got == bfs_oracle(rows, {"n00"})
+    graph.unpersist()
+
+
+# ---- clustering coefficient ----
+
+
+def coeff_by_url(graph):
+    ids = url_of(graph)
+    rows = clustering_coefficient(graph).collect()
+    return {ids[r["id"]]: r["coeff"] for r in rows}
+
+
+def test_clustering_triangle_plus_tail(spark):
+    rows = [("a", "b"), ("b", "c"), ("c", "a"), ("c", "d")]
+    graph = build(spark, rows)
+    got = coeff_by_url(graph)
+    want = clustering_oracle(rows)
+    assert got.keys() == want.keys()
+    for u in want:
+        assert got[u] == pytest.approx(want[u]), u
+    assert got["a"] == 1.0 and got["d"] == 0.0
+    assert got["c"] == pytest.approx(1 / 3)
+    graph.unpersist()
+
+
+def test_clustering_random_matches_oracle(spark):
+    rows = rand_rows(5)
+    graph = build(spark, rows)
+    got, want = coeff_by_url(graph), clustering_oracle(rows)
+    assert got.keys() == want.keys()
+    for u in want:
+        assert got[u] == pytest.approx(want[u]), u
+    graph.unpersist()
+
+
+# ---- reciprocity / degree histogram ----
+
+
+def test_reciprocity_hand_and_random(spark):
+    rows = [("a", "b"), ("b", "a"), ("a", "c"), ("c", "c"), ("a", "b")]
+    graph = build(spark, rows)
+    # simple digraph: a<->b mutual (2 edges), a->c one-way => 2/3
+    assert reciprocity(graph) == pytest.approx(2 / 3)
+    assert reciprocity(graph) == pytest.approx(reciprocity_oracle(rows))
+    graph.unpersist()
+    rows = rand_rows(9)
+    graph = build(spark, rows)
+    assert reciprocity(graph) == pytest.approx(reciprocity_oracle(rows))
+    graph.unpersist()
+
+
+def test_degree_histogram_all_directions(spark):
+    rows = rand_rows(17, n=20, m=50)
+    graph = build(spark, rows)
+    for direction in ("out", "in", "total"):
+        got = {
+            r["degree"]: r["n_vertices"]
+            for r in degree_histogram(graph, direction).collect()
+        }
+        assert got == degree_histogram_oracle(rows, direction), direction
+    with pytest.raises(ValueError):
+        degree_histogram(graph, "sideways")
+    graph.unpersist()
+
+
+# ---- common-neighbor link prediction ----
+
+
+def cn_by_url(graph, **kw):
+    ids = url_of(graph)
+    rows = common_neighbors_topk(graph, **kw).collect()
+    return [
+        (ids[r["id_a"]], ids[r["id_b"]], r["common"], r["jaccard"]) for r in rows
+    ]
+
+
+def test_common_neighbors_hand_built(spark):
+    # square a-b-c-d-a: each diagonal pair shares 2 neighbors, jaccard 2/2=1.0
+    rows = [("a", "b"), ("b", "c"), ("c", "d"), ("d", "a")]
+    graph = build(spark, rows)
+    got = cn_by_url(graph, k=10)
+    want = common_neighbors_oracle(rows)
+    assert {(a, b): (c, j) for a, b, c, j in got} == pytest.approx(want)
+    assert all(c == 2 and j == 1.0 for _, _, c, j in got)
+    graph.unpersist()
+
+
+def test_common_neighbors_excludes_adjacent_and_ranks(spark):
+    rows = rand_rows(23, n=18, m=60)
+    graph = build(spark, rows)
+    got = cn_by_url(graph, k=1000)
+    want = common_neighbors_oracle(rows)
+    assert {(a, b): c for a, b, c, _ in got} == {p: c for p, (c, _) in want.items()}
+    for a, b, c, j in got:
+        assert want[(a, b)][1] == pytest.approx(j)
+    # engine order: common desc, jaccard desc, id_a, id_b (ids follow url sort)
+    keys = [(-c, -j, a, b) for a, b, c, j in got]
+    assert keys == sorted(keys)
+    graph.unpersist()
+
+
+def test_common_neighbors_center_degree_cap(spark):
+    # star hub h with 4 leaves + one path l1-m-l2: uncapped, leaf pairs
+    # share the hub; capping the hub's degree removes hub-witnessed pairs
+    rows = [("h", "l1"), ("h", "l2"), ("h", "l3"), ("h", "l4"), ("l1", "m"), ("m", "l2")]
+    graph = build(spark, rows)
+    uncapped = {(a, b): c for a, b, c, _ in cn_by_url(graph, k=100)}
+    want_un = {p: c for p, (c, _) in common_neighbors_oracle(rows).items()}
+    assert uncapped == want_un
+    capped = {(a, b): c for a, b, c, _ in cn_by_url(graph, k=100, max_center_degree=3)}
+    want_cap = {
+        p: c for p, (c, _) in common_neighbors_oracle(rows, max_center_degree=3).items()
+    }
+    assert capped == want_cap
+    assert ("l1", "l2") in uncapped and uncapped[("l1", "l2")] == 2
+    assert capped[("l1", "l2")] == 1  # hub wedge gone, m wedge stays
+    assert ("l3", "l4") not in capped  # hub was the only witness
+    graph.unpersist()

@@ -25,7 +25,14 @@ from .operators.hits import hits, HitsResult
 from .operators.kcore import k_core
 from .operators.scc import strongly_connected_components, bowtie_classes, SccResult
 from .operators.labelprop import label_propagation
-from .operators.triangles import triangle_count
+from .operators.triangles import (
+    clustering_coefficient,
+    triangle_count,
+    triangles_per_vertex,
+)
+from .operators.bfs import bfs_distances
+from .operators.metrics import degree_histogram, reciprocity
+from .operators.linkpred import common_neighbors_topk
 from .functions.query import query_predicate, make_personalization_vector
 from .plans.pipeline import search, run_pipeline
 
@@ -51,6 +58,12 @@ __all__ = [
     "SccResult",
     "label_propagation",
     "triangle_count",
+    "triangles_per_vertex",
+    "clustering_coefficient",
+    "bfs_distances",
+    "reciprocity",
+    "degree_histogram",
+    "common_neighbors_topk",
     "query_predicate",
     "make_personalization_vector",
     "search",
