@@ -241,6 +241,53 @@ def run_benchmarks(spark):
     qv = emb.limit(1).collect()[0]["embedding"]
     timed("ann", lambda: brute_force_topk(emb, [float(x) for x in qv], k=10).collect())
 
+    # round-4 graph-operator breadth, timed into DETAIL (not the headline
+    # total — the headline stays the reference-parity query set so its
+    # round-over-round comparison isn't polluted by coverage growth).
+    # SCC runs once (it's a multi-fixpoint loop, the costliest op here);
+    # the single-pass ops reuse the min-of-N discipline.
+    if os.environ.get("WSPR_BENCH_GRAPH_OPS", "1") == "1":
+        from web_search_pagerank_project_spark import (
+            bfs_distances,
+            clustering_coefficient,
+            common_neighbors_topk,
+            degree_histogram,
+            reciprocity,
+            strongly_connected_components,
+        )
+
+        gops: dict[str, float] = {}
+
+        def timed_gop(name, fn, n=repeats):
+            best = float("inf")
+            for _ in range(n):
+                t0 = time.monotonic()
+                fn()
+                best = min(best, time.monotonic() - t0)
+            gops[name] = round(best, 3)
+
+        timed_gop(
+            "bfs",
+            lambda: bfs_distances(graph, seed_ids=[0]).count(),
+        )
+        timed_gop("clustering_coeff", lambda: clustering_coefficient(graph).count())
+        timed_gop("reciprocity", lambda: reciprocity(graph))
+        timed_gop(
+            "degree_histogram", lambda: degree_histogram(graph, "total").count()
+        )
+        timed_gop(
+            "common_neighbors_top20",
+            lambda: common_neighbors_topk(
+                graph, k=20, max_center_degree=64
+            ).count(),
+        )
+        timed_gop(
+            "scc",
+            lambda: strongly_connected_components(graph).labels.count(),
+            n=1,
+        )
+        detail["graph_ops"] = gops
+
     graph.unpersist()
     # headline value = sum of per-query min walls (graph_build is already
     # the synth+core sum, so it is excluded from the total). The raw wall
