@@ -31,9 +31,17 @@ from .operators.triangles import (
     triangles_per_vertex,
 )
 from .operators.bfs import bfs_distances
-from .operators.metrics import degree_histogram, reciprocity
+from .operators.msbfs import ms_bfs_bits, harmonic_centrality
+from .operators.metrics import degree_histogram, reciprocity, degree_assortativity
 from .operators.linkpred import common_neighbors_topk
+from .operators.hostgraph import host_of, host_edges
+from .operators.anf import (
+    neighborhood_function,
+    effective_diameter,
+    hll_init_registers,
+)
 from .functions.query import query_predicate, make_personalization_vector
+from .functions.sampling import sample_gate, stratified_sample
 from .plans.pipeline import search, run_pipeline
 
 __all__ = [
@@ -61,9 +69,19 @@ __all__ = [
     "triangles_per_vertex",
     "clustering_coefficient",
     "bfs_distances",
+    "ms_bfs_bits",
+    "harmonic_centrality",
     "reciprocity",
     "degree_histogram",
+    "degree_assortativity",
     "common_neighbors_topk",
+    "host_of",
+    "host_edges",
+    "neighborhood_function",
+    "effective_diameter",
+    "hll_init_registers",
+    "sample_gate",
+    "stratified_sample",
     "query_predicate",
     "make_personalization_vector",
     "search",

@@ -15,7 +15,7 @@ from pyspark.sql import functions as F
 
 from .graph_build import GraphTables
 
-__all__ = ["reciprocity", "degree_histogram"]
+__all__ = ["reciprocity", "degree_histogram", "degree_assortativity"]
 
 
 def _simple_directed(graph: GraphTables) -> DataFrame:
@@ -74,3 +74,62 @@ def degree_histogram(graph: GraphTables, direction: str = "out") -> DataFrame:
         .select(F.coalesce(F.col("degree"), F.lit(0)).alias("degree"))
     )
     return dense.groupBy("degree").agg(F.count("*").alias("n_vertices"))
+
+
+def degree_assortativity(
+    graph: GraphTables, x: str = "out", y: str = "in"
+) -> float:
+    """Directed degree assortativity: the Pearson correlation, over the
+    deduplicated self-loop-free edge set, between the x-degree of the
+    source and the y-degree of the destination (Foster et al., PNAS 2010
+    — the (out,in) variant is the standard web-graph report). Returns NaN
+    for degenerate graphs (constant degree on either side).
+
+    Plan shape: two degree aggregations (map-side combine), two
+    shuffle-hash joins keyed on the edge endpoints, one F.corr aggregate —
+    single pass, no Python, no driver iteration. The degree tables are
+    O(V) and partition on the same keys the edge table already hashes on,
+    so at 10^12 edges this is three shuffles total and the final aggregate
+    is a scalar.
+    """
+    if x not in ("out", "in", "total") or y not in ("out", "in", "total"):
+        raise ValueError(f"degree kinds must be out|in|total, got {x!r}/{y!r}")
+    e = _simple_directed(graph)
+
+    def deg(kind: str, alias: str) -> DataFrame:
+        if kind == "out":
+            ends = e.select(F.col("src_id").alias("id"))
+        elif kind == "in":
+            ends = e.select(F.col("dst_id").alias("id"))
+        else:
+            ends = e.select(F.col("src_id").alias("id")).unionAll(
+                e.select(F.col("dst_id").alias("id"))
+            )
+        return ends.groupBy("id").agg(
+            F.count("*").cast("double").alias(alias)
+        )
+
+    dx = deg(x, "deg_x").withColumnRenamed("id", "src_id")
+    dy = deg(y, "deg_y").withColumnRenamed("id", "dst_id")
+    # corr from its moments, divided driver-side: F.corr raises
+    # DIVIDE_BY_ZERO under ANSI mode when either degree is constant
+    # (regular graphs); the assortativity of such a graph is undefined -> NaN
+    # LEFT joins: an endpoint can have zero x-/y-degree (e.g. a pure sink's
+    # out-degree) and still sit on an edge — inner joins would drop the row
+    row = (
+        e.join(dx.hint("shuffle_hash"), "src_id", "left")
+        .join(dy.hint("shuffle_hash"), "dst_id", "left")
+        .select(
+            F.coalesce(F.col("deg_x"), F.lit(0.0)).alias("deg_x"),
+            F.coalesce(F.col("deg_y"), F.lit(0.0)).alias("deg_y"),
+        )
+        .agg(
+            F.covar_pop("deg_x", "deg_y").alias("cov"),
+            F.stddev_pop("deg_x").alias("sx"),
+            F.stddev_pop("deg_y").alias("sy"),
+        )
+        .collect()[0]
+    )
+    if not row["sx"] or not row["sy"]:
+        return float("nan")
+    return float(row["cov"]) / (float(row["sx"]) * float(row["sy"]))
