@@ -45,9 +45,12 @@ _EDGES_SQL = f"""
     FROM documents
 """
 
-# weighted edges + vertex count, shared CTE prefix for graph oracles
-_GRAPH_SQL_PREFIX = f"""
-WITH e AS ({_EDGES_SQL}),
+# weighted edges + vertex count, shared CTE prefix for graph oracles —
+# parameterized by the raw edge-list SQL so the same machinery serves the
+# page graph AND graphs derived from it (e.g. the host graph)
+def _graph_prefix(edges_sql: str) -> str:
+    return f"""
+WITH e AS ({edges_sql}),
 verts AS (
     SELECT DISTINCT url FROM (
         SELECT src AS url FROM e UNION ALL SELECT dst AS url FROM e
@@ -61,6 +64,24 @@ pw AS (
     FROM mult JOIN outdeg ON mult.src = outdeg.src
 )
 """
+
+
+_GRAPH_SQL_PREFIX = _graph_prefix(_EDGES_SQL)
+
+# host-graph edge list: one row per INTER-host page link, hosts minted from
+# the same doc_id arithmetic q_host_graph uses to build the page urls —
+# duplicate host pairs stay duplicated so the reference's multiplicity->
+# weight accumulation applies to the collapsed graph too
+_HOST_EDGES_SQL = f"""
+    SELECT * FROM (
+        SELECT 'h' || CAST((doc_id * doc_id) % 13 AS VARCHAR) || '.example' AS src,
+               'h' || CAST(((doc_id * {_A} + {_C}) % {_M}) % 13 AS VARCHAR)
+                 || '.example' AS dst
+        FROM documents
+    ) WHERE src <> dst
+"""
+
+_HOST_GRAPH_SQL_PREFIX = _graph_prefix(_HOST_EDGES_SQL)
 
 # degree-ordered edge orientation (triangles.py:26-56) as appendable CTEs —
 # shared by the triangle_count and triangles_per_vertex oracles
@@ -92,6 +113,7 @@ def _pr_oracle_sql(
     epsilon: float | None = None,
     limit: int | None = None,
     normalize: bool = False,
+    prefix: str | None = None,
 ) -> str:
     """Unrolled power-method iterations with exact reference numerics
     (q -> L1 -> L2-normalized v per ws_pagerank.py:115-139; dangling beta
@@ -189,7 +211,7 @@ def _pr_oracle_sql(
     if limit is not None:
         order += f" LIMIT {limit}"
     return (
-        _GRAPH_SQL_PREFIX
+        (prefix if prefix is not None else _GRAPH_SQL_PREFIX)
         + f"""
         , qsum AS (SELECT SUM({vraw_expr}) AS s FROM verts),
         vl1 AS (SELECT url, ({vraw_expr}) / (SELECT s FROM qsum) AS v FROM verts),
@@ -1077,6 +1099,133 @@ def q_lsh_pairs_above(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
+def q_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X17: incoming harmonic centrality over all sources via bit-parallel
+    multi-source BFS (operators/msbfs.py; Boldi-Vigna 2014's recommended
+    web centrality). V=100 exercises the multi-wave (>64 sources) path.
+    Oracle: bounded recursive walk closure from every vertex, MIN(d) per
+    (source, vertex), SUM(1/d) per vertex."""
+    from web_search_pagerank_project_spark import build_graph, harmonic_centrality
+
+    graph = build_graph(_edges(spark, sf_dir), cache=True)
+    h = harmonic_centrality(graph)
+    return (
+        graph.vertices.join(h, "id", "left")
+        .select(
+            "url",
+            F.round(F.coalesce(F.col("harmonic"), F.lit(0.0)), 6).alias("harmonic"),
+        )
+        .orderBy("url")
+    )
+
+
+def q_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X18: directed (out, in) degree assortativity of the dedup simple
+    digraph (operators/metrics.py::degree_assortativity); single scalar
+    row. Oracle: corr from covar_pop/stddev_pop over the same edge list."""
+    from web_search_pagerank_project_spark import build_graph, degree_assortativity
+
+    graph = build_graph(_edges(spark, sf_dir), cache=True)
+    r = degree_assortativity(graph, "out", "in")
+    return spark.createDataFrame([(round(r, 6),)], "assortativity double")
+
+
+def q_host_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X19: page-graph -> host-graph collapse (operators/hostgraph.py).
+    Page urls are derived arithmetically from doc_id so the oracle can
+    rebuild the hosts without a url parser; the Spark side goes through
+    the real `parse_url(url, 'HOST')` path. Weights: total links and
+    distinct linking pages per host pair, intra-host links dropped."""
+    from web_search_pagerank_project_spark import host_edges
+
+    docs = _docs(spark, sf_dir)
+    pages = docs.select(
+        F.concat(
+            F.lit("http://h"),
+            ((F.col("doc_id") * F.col("doc_id")) % 13).cast("string"),
+            F.lit(".example/p"),
+            F.col("doc_id").cast("string"),
+        ).alias("src"),
+        F.concat(
+            F.lit("http://h"),
+            (((F.col("doc_id") * _A + _C) % _M) % 13).cast("string"),
+            F.lit(".example/p"),
+            ((F.col("doc_id") * 7) % 1000).cast("string"),
+        ).alias("dst"),
+    )
+    return host_edges(pages).orderBy("src", "dst")
+
+
+def q_host_pagerank_3iter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X19b: the canonical composition — collapse the page graph to hosts
+    (parse_url path), then run exact-reference-semantics PageRank on the
+    host graph (Common-Crawl-style host ranking). Duplicate host pairs are
+    kept so page-link multiplicity becomes edge weight, exactly as the
+    page-level build treats duplicate edges. Oracle: the standard unrolled
+    power method over the host edge list."""
+    from web_search_pagerank_project_spark import build_graph, pagerank
+    from web_search_pagerank_project_spark.operators.hostgraph import host_of
+
+    docs = _docs(spark, sf_dir)
+    pages = docs.select(
+        F.concat(
+            F.lit("http://h"),
+            ((F.col("doc_id") * F.col("doc_id")) % 13).cast("string"),
+            F.lit(".example/p"),
+            F.col("doc_id").cast("string"),
+        ).alias("src"),
+        F.concat(
+            F.lit("http://h"),
+            (((F.col("doc_id") * _A + _C) % _M) % 13).cast("string"),
+            F.lit(".example/p"),
+            ((F.col("doc_id") * 7) % 1000).cast("string"),
+        ).alias("dst"),
+    )
+    pairs = pages.select(
+        host_of(F.col("src")).alias("src"), host_of(F.col("dst")).alias("dst")
+    ).filter(F.col("src") != F.col("dst"))
+    graph = build_graph(pairs, cache=True)
+    res = pagerank(graph, alpha=0.85, max_iterations=3, epsilon=0.0)
+    return (
+        res.by_url(graph)
+        .select("url", F.round("rank", 6).alias("score"))
+        .orderBy(F.desc("score"), F.asc("url"))
+    )
+
+
+def q_neighborhood_function(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X20: HyperBall approximate neighborhood function N(t) with m=16
+    registers and the portable LCG hash (operators/anf.py; Boldi-Vigna
+    2013). The oracle replays the ESTIMATOR exactly — registers of
+    ball(v, t) from the walk closure, identical hash/rank/correction
+    arithmetic — so even this approximate sketch is hash-checked, not
+    rows-only. Rows end at the registers' fixed point."""
+    from web_search_pagerank_project_spark import build_graph, neighborhood_function
+
+    graph = build_graph(_edges(spark, sf_dir), cache=True)
+    nf = neighborhood_function(graph, m=16)
+    return nf.select("t", F.round("nf", 6).alias("nf")).orderBy("t")
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X21: deterministic hash-stratified corpus sampling over documents
+    (functions/sampling.py): per-language keep rates behind a pure integer
+    hash gate, so membership is exact and partitioning-independent. Oracle
+    replays the gate verbatim (xor + LCG in ANSI SQL)."""
+    from web_search_pagerank_project_spark import stratified_sample
+
+    docs = _docs(spark, sf_dir)
+    out = stratified_sample(
+        docs,
+        "doc_id",
+        "lang",
+        {"en": 0.5, "de": 1.0, "fr": 0.25},
+        default_rate=0.1,
+        seed=7,
+    )
+    return out.select("doc_id", "lang").orderBy("doc_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "edge_weights": q_edge_weights,
@@ -1119,6 +1268,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_near_dups": q_minhash_near_dups,
         "simhash_near_dups": q_simhash_near_dups,
         "lsh_pairs_above": q_lsh_pairs_above,
+        "harmonic_centrality": q_harmonic_centrality,
+        "degree_assortativity": q_degree_assortativity,
+        "host_graph": q_host_graph,
+        "host_pagerank_3iter": q_host_pagerank_3iter,
+        "neighborhood_function": q_neighborhood_function,
+        "stratified_sample": q_stratified_sample,
     }
 
 
@@ -1668,5 +1823,151 @@ def oracle_sql() -> dict[str, str]:
         WHERE list_dot_product(a.e, b.e)
               / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))) >= 0.4
         ORDER BY id_a, id_b
+        """,
+        # all-sources walk closure -> MIN(d) per (source, vertex) -> SUM(1/d)
+        "harmonic_centrality": f"""
+        WITH RECURSIVE e AS ({_EDGES_SQL}),
+        verts AS (
+            SELECT DISTINCT url FROM (
+                SELECT src AS url FROM e UNION ALL SELECT dst AS url FROM e
+            )
+        ),
+        de AS (SELECT DISTINCT src, dst FROM e WHERE src <> dst),
+        walk(s, url, d) AS (
+            SELECT url, url, 0 FROM verts
+            UNION
+            SELECT w.s, de.dst, w.d + 1 FROM walk w JOIN de ON w.url = de.src
+            WHERE w.d < 200
+        ),
+        md AS (SELECT s, url, MIN(d) AS d FROM walk GROUP BY s, url),
+        h AS (
+            SELECT url, SUM(1.0 / d) AS harmonic FROM md WHERE d >= 1 GROUP BY url
+        )
+        SELECT verts.url, ROUND(COALESCE(h.harmonic, 0.0), 6) AS harmonic
+        FROM verts LEFT JOIN h ON verts.url = h.url
+        ORDER BY verts.url
+        """,
+        # corr((out-deg of src), (in-deg of dst)) over distinct non-loop
+        # edges, zero-degree endpoints kept via LEFT JOIN + COALESCE
+        "degree_assortativity": f"""
+        WITH e AS ({_EDGES_SQL}),
+        de AS (SELECT DISTINCT src, dst FROM e WHERE src <> dst),
+        outd AS (SELECT src AS id, CAST(COUNT(*) AS DOUBLE) AS d FROM de GROUP BY src),
+        ind  AS (SELECT dst AS id, CAST(COUNT(*) AS DOUBLE) AS d FROM de GROUP BY dst),
+        pairs AS (
+            SELECT COALESCE(o.d, 0.0) AS x, COALESCE(i.d, 0.0) AS y
+            FROM de
+            LEFT JOIN outd o ON de.src = o.id
+            LEFT JOIN ind  i ON de.dst = i.id
+        )
+        SELECT ROUND(
+            covar_pop(x, y) / (stddev_pop(x) * stddev_pop(y)), 6
+        ) AS assortativity FROM pairs
+        """,
+        # hosts rebuilt from the same doc_id arithmetic the query uses to
+        # MINT the page urls — the oracle never parses a url, so the Spark
+        # side's parse_url(HOST) path is what's actually under test
+        "host_graph": f"""
+        WITH pages AS (
+            SELECT 'http://h' || CAST((doc_id * doc_id) % 13 AS VARCHAR)
+                     || '.example/p' || CAST(doc_id AS VARCHAR) AS page_src,
+                   'h' || CAST((doc_id * doc_id) % 13 AS VARCHAR) || '.example' AS src_host,
+                   'h' || CAST(((doc_id * {_A} + {_C}) % {_M}) % 13 AS VARCHAR)
+                     || '.example' AS dst_host
+            FROM documents
+        )
+        SELECT src_host AS src, dst_host AS dst,
+               CAST(COUNT(*) AS BIGINT) AS n_links,
+               CAST(COUNT(DISTINCT page_src) AS BIGINT) AS n_src_pages
+        FROM pages
+        WHERE src_host <> dst_host
+        GROUP BY src_host, dst_host
+        ORDER BY src, dst
+        """,
+        # the page->host collapse feeding the standard unrolled power
+        # method — same _pr_oracle_sql machinery, host-edge CTE prefix
+        "host_pagerank_3iter": _pr_oracle_sql(
+            "1.0", iters=3, prefix=_HOST_GRAPH_SQL_PREFIX
+        ),
+        # exact replay of HyperBall (operators/anf.py): registers of
+        # ball(v, t) = MAX over the walk closure of the singleton-register
+        # ranks, identical LCG hash / rho / bias-correction arithmetic
+        # (the per-vertex 2^-r sums are exact dyadic rationals, so both
+        # engines produce bit-identical estimates); rows stop at the
+        # registers' fixed point exactly as the engine's loop does
+        "neighborhood_function": f"""
+        WITH RECURSIVE e AS ({_EDGES_SQL}),
+        verts AS (
+            SELECT DISTINCT url FROM (
+                SELECT src AS url FROM e UNION ALL SELECT dst AS url FROM e
+            )
+        ),
+        de AS (SELECT DISTINCT src, dst FROM e WHERE src <> dst),
+        walk(v, u, d) AS (
+            SELECT url, url, 0 FROM verts
+            UNION
+            SELECT w.v, de.dst, w.d + 1 FROM walk w JOIN de ON w.u = de.src
+            WHERE w.d < 200
+        ),
+        md AS (SELECT v, u, MIN(d) AS d FROM walk GROUP BY v, u),
+        iu AS (
+            SELECT url,
+                   ((ROW_NUMBER() OVER (ORDER BY url) - 1) * 1103515245 + 12345)
+                     % 2147483648 AS h
+            FROM verts
+        ),
+        iu2 AS (
+            SELECT url, h % 16 AS j,
+                   CASE WHEN h // 16 = 0 THEN 25
+                        ELSE CAST(ROUND(log2((h // 16) & (-(h // 16)))) AS INTEGER) + 1
+                   END AS rank
+            FROM iu
+        ),
+        -- t = 0 .. maxd+1 (pairwise shortest distances are contiguous from
+        -- 0, so DISTINCT d enumerates every integer step; +1 adds the
+        -- fixed-point round; range() can't take a subquery bound)
+        ts AS (SELECT DISTINCT d AS t FROM md UNION SELECT MAX(d) + 1 FROM md),
+        regj AS (
+            SELECT md.v, ts.t, iu2.j, MAX(iu2.rank) AS r
+            FROM md JOIN iu2 ON md.u = iu2.url
+            JOIN ts ON md.d <= ts.t
+            GROUP BY md.v, ts.t, iu2.j
+        ),
+        pe AS (
+            SELECT v, t,
+                   0.673 * 256.0 / (SUM(pow(2.0, -r)) + (16 - COUNT(*))) AS raw,
+                   16 - COUNT(*) AS zeros,
+                   SUM(r) AS rsum
+            FROM regj GROUP BY v, t
+        ),
+        pe2 AS (
+            SELECT v, t,
+                   CASE WHEN raw <= 40.0 AND zeros > 0
+                        THEN 16.0 * ln(16.0 / zeros) ELSE raw END AS est,
+                   rsum
+            FROM pe
+        ),
+        tot AS (SELECT t, SUM(est) AS nf, SUM(rsum) AS rs FROM pe2 GROUP BY t),
+        tot2 AS (SELECT t, nf, rs, LAG(rs) OVER (ORDER BY t) AS prs FROM tot),
+        tstar AS (
+            SELECT COALESCE(MIN(t), (SELECT MAX(t) + 1 FROM tot2)) AS tf
+            FROM tot2 WHERE t >= 1 AND rs = prs
+        )
+        SELECT CAST(t AS INTEGER) AS t, ROUND(nf, 6) AS nf
+        FROM tot2 WHERE t < (SELECT tf FROM tstar)
+        ORDER BY t
+        """,
+        # the sampling gate replayed verbatim: xor-mixed seeded LCG,
+        # integer thresholds (mix = lcg(7) = 1282168116; cuts =
+        # floor(rate * 2^31))
+        "stratified_sample": """
+        SELECT doc_id, lang FROM documents
+        WHERE (xor(doc_id % 2147483648, 1282168116) * 1103515245 + 12345)
+              % 2147483648 <
+              CASE lang WHEN 'en' THEN 1073741824
+                        WHEN 'de' THEN 2147483648
+                        WHEN 'fr' THEN 536870912
+                        ELSE 214748364 END
+        ORDER BY doc_id
         """,
     }

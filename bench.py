@@ -286,6 +286,45 @@ def run_benchmarks(spark):
             lambda: strongly_connected_components(graph).labels.count(),
             n=1,
         )
+        # round-4b breadth: one 64-source MS-BFS wave (the unit of work a
+        # cluster fans out across waves), assortativity (single pass),
+        # HyperBall to its register fixed point (iterative, run once), and
+        # the host collapse over urls minted from the synth edge endpoints
+        from pyspark.sql import functions as _F
+
+        from web_search_pagerank_project_spark import (
+            degree_assortativity,
+            harmonic_centrality,
+            host_edges,
+            neighborhood_function,
+        )
+
+        timed_gop(
+            "harmonic_64src_wave",
+            lambda: harmonic_centrality(graph, seed_ids=list(range(64))).count(),
+            n=1,
+        )
+        timed_gop("assortativity", lambda: degree_assortativity(graph))
+        timed_gop(
+            "hyperball_nf",
+            lambda: neighborhood_function(graph, m=16).count(),
+            n=1,
+        )
+        host_urls = raw_edges.select(
+            _F.concat(
+                _F.lit("http://h"),
+                _F.pmod(_F.xxhash64("src"), _F.lit(997)).cast("string"),
+                _F.lit(".example/"),
+                "src",
+            ).alias("src"),
+            _F.concat(
+                _F.lit("http://h"),
+                _F.pmod(_F.xxhash64("dst"), _F.lit(997)).cast("string"),
+                _F.lit(".example/"),
+                "dst",
+            ).alias("dst"),
+        )
+        timed_gop("host_collapse", lambda: host_edges(host_urls).count())
         detail["graph_ops"] = gops
 
     graph.unpersist()
