@@ -16,6 +16,8 @@ from __future__ import annotations
 import argparse
 import logging
 
+from pyspark.sql import functions as F
+
 
 def build_parser() -> argparse.ArgumentParser:
     parser = argparse.ArgumentParser(prog="wspr-engine")
@@ -45,6 +47,10 @@ def build_parser() -> argparse.ArgumentParser:
             "kcore",
             "scc",
             "bowtie",
+            "harmonic",
+            "anf",
+            "assortativity",
+            "hostgraph",
         ],
     )
     parser.add_argument(
@@ -154,6 +160,35 @@ def main(argv: list[str] | None = None) -> None:
                 .join(graph.vertices, "id")
                 .select("url", "cls")
                 .orderBy("url")
+            )
+        elif args.algorithm == "harmonic":
+            from ..operators.msbfs import harmonic_centrality
+
+            out = (
+                harmonic_centrality(graph)
+                .join(graph.vertices, "id")
+                .select("url", "harmonic")
+                .orderBy(F.desc("harmonic"), "url")
+            )
+        elif args.algorithm == "anf":
+            from ..operators.anf import effective_diameter, neighborhood_function
+
+            nf = neighborhood_function(graph, m=16)
+            rows = [(r["t"], r["nf"]) for r in nf.collect()]
+            logging.info(f"effective_diameter_0.9={effective_diameter(rows):.4f}")
+            out = nf.orderBy("t")
+        elif args.algorithm == "assortativity":
+            from ..operators.metrics import degree_assortativity
+
+            r = degree_assortativity(graph, "out", "in")
+            logging.info(f"assortativity_out_in={r:.6f}")
+            out = spark.createDataFrame([(r,)], "assortativity double")
+        elif args.algorithm == "hostgraph":
+            from ..operators.hostgraph import host_edges
+            from ..sources.edges import read_edge_csv as _recsv
+
+            out = host_edges(_recsv(spark, args.data)).orderBy(
+                F.desc("n_links"), "src", "dst"
             )
         else:
             from ..operators.triangles import triangle_count
