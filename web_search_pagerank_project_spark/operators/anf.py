@@ -19,8 +19,11 @@ Spark-first shape (no Python in the loop):
     ONE scalar per round (the monotone register sum — registers only grow,
     and one unchanged round proves global convergence since the round map
     is deterministic on the state).
-  * per-round state sits behind eager localCheckpoints (same lineage
-    discipline as bfs.py / components.py).
+  * per-round state sits behind eager cut_lineage checkpoints — the
+    round plan references the previous registers TWICE (regs' = regs x
+    nbr(regs)), so a plain localCheckpoint lets the join-size-product
+    statistic square per round and overflow at scale
+    (operators/lineage.py has the full pathology).
 
 Determinism / oracle parity: the vertex hash is a pure-integer LCG
 (((id % 2^31) * 1103515245 + 12345) % 2^31 — overflow-free in int64 for
@@ -45,6 +48,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from .graph_build import GraphTables
+from .lineage import cut_lineage
 
 __all__ = [
     "lcg_hash",
@@ -169,7 +173,7 @@ def neighborhood_function(
                     for c in rcols
                 ],
             )
-            .localCheckpoint(eager=True)
+            .transform(lambda df: cut_lineage(df, eager=True))
         )
         cur_sum, nf_t = reg_sum_and_nf(regs)
         if cur_sum == prev_sum:

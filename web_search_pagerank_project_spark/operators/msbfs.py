@@ -27,7 +27,12 @@ cluster; sequential here to bound local-mode memory).
 Same iterative discipline as operators/bfs.py: edges partitioned once by
 the join key and persisted, SHUFFLE_HASH hints so an O(V) side is never
 a driver-built broadcast, one scalar action per round, and per-round
-state behind eager localCheckpoints so lineage cannot snowball.
+state behind eager cut_lineage checkpoints. Plain localCheckpoint is NOT
+enough here: each round's plan references the previous state TWICE
+(fresh = arrived x seen, then seen' = seen x fresh), so the size-only
+stats visitor's join-size product SQUARES the inherited sizeInBytes per
+round — at bench scale the BigInteger stat overflows Long within a few
+rounds (observed at 2M edges). cut_lineage resets leaf statistics.
 """
 
 from __future__ import annotations
@@ -36,6 +41,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .graph_build import GraphTables
+from .lineage import cut_lineage
 
 __all__ = ["ms_bfs_bits", "harmonic_centrality"]
 
@@ -109,7 +115,7 @@ def ms_bfs_bits(
                 ).alias("bits"),
             )
             .filter(F.col("bits") != 0)
-            .localCheckpoint(eager=True)
+            .transform(lambda df: cut_lineage(df, eager=True))
         )
         if fresh.count() == 0:
             break
@@ -126,7 +132,7 @@ def ms_bfs_bits(
                     )
                 ).alias("bits"),
             )
-            .localCheckpoint(eager=True)
+            .transform(lambda df: cut_lineage(df, eager=True))
         )
         frontier = fresh
     else:
