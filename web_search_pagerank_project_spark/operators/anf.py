@@ -131,11 +131,15 @@ def neighborhood_function(
     npart = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     rcols = [f"r{jj}" for jj in range(m)]
 
+    # partitioned ONCE by the per-round join key (dst_id): the frontier
+    # side shuffles O(V) rows per round while the edge arrays stay put —
+    # partitioning by src_id here would re-shuffle the whole edge table
+    # every round to meet the dst-keyed join
     edges = (
         graph.edges.select("src_id", "dst_id")
         .filter(F.col("src_id") != F.col("dst_id"))
         .distinct()
-        .repartition(npart, "src_id")
+        .repartition(npart, "dst_id")
         .persist()
     )
     regs = (
@@ -144,25 +148,25 @@ def neighborhood_function(
         .localCheckpoint(eager=True)
     )
 
-    def reg_sum_and_nf(df: DataFrame) -> tuple[int, float]:
-        row = df.select(
-            F.sum(sum(F.col(c) for c in rcols)).alias("rs"),
-            F.sum(_estimate(m)).alias("nf"),
-        ).collect()[0]
-        return int(row["rs"]), float(row["nf"])
-
-    prev_sum, nf0 = reg_sum_and_nf(regs)
+    nf0 = float(regs.select(F.sum(_estimate(m)).alias("nf")).collect()[0]["nf"])
     out = [(0, nf0)]
+    # systolic HyperBall (Boldi-Vigna 2013 §4): only vertices whose
+    # registers CHANGED last round are propagated. Exact, by the usual
+    # monotone-frontier argument: an unchanged neighbor's registers were
+    # already absorbed in the round it last changed, so re-sending them
+    # is a no-op — register values per round are identical to the dense
+    # sweep (the SQL oracle replays the dense form and still matches).
+    frontier = regs
     for t in range(1, max_t + 1):
         nbr = (
             edges.join(
-                regs.withColumnRenamed("id", "dst_id").hint("shuffle_hash"),
+                frontier.withColumnRenamed("id", "dst_id").hint("shuffle_hash"),
                 "dst_id",
             )
             .groupBy(F.col("src_id").alias("id"))
             .agg(*[F.max(c).alias(f"n_{c}") for c in rcols])
         )
-        regs = (
+        merged = (
             regs.join(nbr.hint("shuffle_hash"), "id", "left")
             .select(
                 "id",
@@ -172,14 +176,28 @@ def neighborhood_function(
                     ).alias(c)
                     for c in rcols
                 ],
+                # did any register grow? registers are monotone, so
+                # "greater candidate exists" == "row changed this round"
+                F.greatest(
+                    *[
+                        (F.coalesce(F.col(f"n_{c}"), F.lit(0)) > F.col(c)).cast(
+                            "int"
+                        )
+                        for c in rcols
+                    ]
+                ).alias("chg"),
             )
             .transform(lambda df: cut_lineage(df, eager=True))
         )
-        cur_sum, nf_t = reg_sum_and_nf(regs)
-        if cur_sum == prev_sum:
-            break  # fixed point: the round map is deterministic, so stable forever
-        prev_sum = cur_sum
-        out.append((t, nf_t))
+        # one aggregate job yields the round's estimate AND the stop test
+        row = merged.select(
+            F.sum(_estimate(m)).alias("nf"), F.sum("chg").alias("nchg")
+        ).collect()[0]
+        if int(row["nchg"]) == 0:
+            break  # fixed point: monotone registers + deterministic round map
+        regs = merged.drop("chg")
+        frontier = merged.filter(F.col("chg") == 1).drop("chg")
+        out.append((t, float(row["nf"])))
     edges.unpersist()
     return spark.createDataFrame(out, "t int, nf double")
 
