@@ -1207,6 +1207,29 @@ def q_neighborhood_function(spark: SparkSession, sf_dir: str) -> DataFrame:
     return nf.select("t", F.round("nf", 6).alias("nf")).orderBy("t")
 
 
+def q_hyperball_centralities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X22: HyperBall-derived approximate harmonic + closeness centrality
+    (operators/anf.py::hyperball_centralities; Boldi-Vigna 2013 §3) — the
+    100-TB-shaped replacement for exact all-sources MS-BFS harmonic. The
+    oracle replays the FULL estimator: in-ball registers per (vertex, t)
+    from the walk closure, per-round estimate deltas, Σ delta/t and
+    1/Σ t·delta — identical LCG hash / rank / correction arithmetic, so
+    the approximation itself is hash-checked, not rows-only."""
+    from web_search_pagerank_project_spark import build_graph, hyperball_centralities
+
+    graph = build_graph(_edges(spark, sf_dir), cache=True)
+    hc = hyperball_centralities(graph, m=16)
+    return (
+        graph.vertices.join(hc, "id")
+        .select(
+            "url",
+            F.round("harmonic", 6).alias("harmonic"),
+            F.round("closeness", 6).alias("closeness"),
+        )
+        .orderBy("url")
+    )
+
+
 def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X21: deterministic hash-stratified corpus sampling over documents
     (functions/sampling.py): per-language keep rates behind a pure integer
@@ -1273,6 +1296,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_graph": q_host_graph,
         "host_pagerank_3iter": q_host_pagerank_3iter,
         "neighborhood_function": q_neighborhood_function,
+        "hyperball_centralities": q_hyperball_centralities,
         "stratified_sample": q_stratified_sample,
     }
 
@@ -1956,6 +1980,77 @@ def oracle_sql() -> dict[str, str]:
         SELECT CAST(t AS INTEGER) AS t, ROUND(nf, 6) AS nf
         FROM tot2 WHERE t < (SELECT tf FROM tstar)
         ORDER BY t
+        """,
+        # full replay of hyperball_centralities (operators/anf.py):
+        # IN-ball registers per (vertex, t) from the walk closure —
+        # absorb the singleton registers of every v with dist(v, w) <= t —
+        # then the Boldi-Vigna counter-delta estimator: harmonic =
+        # Σ_t delta/t, closeness = 1/Σ_t t·delta. Identical LCG hash /
+        # rho / bias-correction arithmetic as the neighborhood_function
+        # oracle (per-vertex estimates are bit-identical; the delta sums
+        # run over <= diameter terms, absorbed by ROUND 6).
+        "hyperball_centralities": f"""
+        WITH RECURSIVE e AS ({_EDGES_SQL}),
+        verts AS (
+            SELECT DISTINCT url FROM (
+                SELECT src AS url FROM e UNION ALL SELECT dst AS url FROM e
+            )
+        ),
+        de AS (SELECT DISTINCT src, dst FROM e WHERE src <> dst),
+        walk(v, u, d) AS (
+            SELECT url, url, 0 FROM verts
+            UNION
+            SELECT w.v, de.dst, w.d + 1 FROM walk w JOIN de ON w.u = de.src
+            WHERE w.d < 200
+        ),
+        md AS (SELECT v, u, MIN(d) AS d FROM walk GROUP BY v, u),
+        iu AS (
+            SELECT url,
+                   ((ROW_NUMBER() OVER (ORDER BY url) - 1) * 1103515245 + 12345)
+                     % 2147483648 AS h
+            FROM verts
+        ),
+        iu2 AS (
+            SELECT url, h % 16 AS j,
+                   CASE WHEN h // 16 = 0 THEN 25
+                        ELSE CAST(ROUND(log2((h // 16) & (-(h // 16)))) AS INTEGER) + 1
+                   END AS rank
+            FROM iu
+        ),
+        hts AS (SELECT DISTINCT d AS t FROM md),
+        hbreg AS (
+            SELECT md.u AS w, hts.t, iu2.j, MAX(iu2.rank) AS r
+            FROM md JOIN iu2 ON md.v = iu2.url
+            JOIN hts ON md.d <= hts.t
+            GROUP BY md.u, hts.t, iu2.j
+        ),
+        hbraw AS (
+            SELECT w, t,
+                   0.673 * 256.0 / (SUM(pow(2.0, -r)) + (16 - COUNT(*))) AS raw,
+                   16 - COUNT(*) AS zeros
+            FROM hbreg GROUP BY w, t
+        ),
+        hbest AS (
+            SELECT w, t,
+                   CASE WHEN raw <= 40.0 AND zeros > 0
+                        THEN 16.0 * ln(16.0 / zeros) ELSE raw END AS est
+            FROM hbraw
+        ),
+        hbdel AS (
+            SELECT cur.w, cur.t, cur.est - prv.est AS delta
+            FROM hbest cur JOIN hbest prv
+              ON cur.w = prv.w AND prv.t = cur.t - 1
+        ),
+        hbacc AS (
+            SELECT w, SUM(delta / t) AS h, SUM(delta * t) AS sd
+            FROM hbdel GROUP BY w
+        )
+        SELECT verts.url,
+               ROUND(COALESCE(hbacc.h, 0.0), 6) AS harmonic,
+               ROUND(CASE WHEN COALESCE(hbacc.sd, 0.0) > 0
+                          THEN 1.0 / hbacc.sd ELSE 0.0 END, 6) AS closeness
+        FROM verts LEFT JOIN hbacc ON verts.url = hbacc.w
+        ORDER BY verts.url
         """,
         # the sampling gate replayed verbatim: xor-mixed seeded LCG,
         # integer thresholds (mix = lcg(7) = 1282168116; cuts =

@@ -1,0 +1,113 @@
+"""Round-5 scale-path operators: HyperBall-derived geometric centralities
+(operators/anf.py::hyperball_centralities) — the approximate replacement for
+exact all-sources MS-BFS harmonic centrality (VERDICT r4 item 1) — and the
+scale-boundary behavior of the exact path.
+
+Reference parity note: the reference ranks by PageRank only
+(/root/reference/ws_pagerank.py); geometric centralities are engine
+scale-path surface (Boldi-Vigna, "In-Core Computation of Geometric
+Centralities with HyperBall", 2013, §3).
+"""
+
+from __future__ import annotations
+
+import math
+
+import pandas as pd
+import pytest
+
+from conftest import SMALL_EDGES
+from test_round4_breadth import (
+    _estimate_py,
+    _init_reg,
+    all_pairs_dist,
+    build,
+    harmonic_oracle,
+    rand_rows,
+)
+
+from web_search_pagerank_project_spark.operators.anf import hyperball_centralities
+from web_search_pagerank_project_spark.operators.msbfs import harmonic_centrality
+
+
+def hyperball_oracle(rows, id_of, m):
+    """Exact replay of the HyperBall counter-delta estimator, mirroring the
+    engine's accumulation order: per vertex w, registers of the IN-ball
+    {u : dist(u, w) <= t}, est per t, h += (e - pe)/t, sd += (e - pe)*t."""
+    verts, dist = all_pairs_dist(rows)
+
+    def regs_at(w, t):
+        r = [0] * m
+        for u in verts:
+            if dist[(u, w)] is not math.inf and dist[(u, w)] <= t:
+                r = [max(a, b) for a, b in zip(r, _init_reg(id_of[u], m))]
+        return r
+
+    out = {}
+    maxd = max(d for d in dist.values() if d is not math.inf)
+    for w in verts:
+        pe = _estimate_py(regs_at(w, 0), m)
+        h = sd = 0.0
+        for t in range(1, maxd + 1):
+            e = _estimate_py(regs_at(w, t), m)
+            h += (e - pe) / t
+            sd += (e - pe) * t
+            pe = e
+        out[w] = (h, (1.0 / sd) if sd > 0 else 0.0)
+    return out
+
+
+@pytest.mark.parametrize("rows_seed", ["small", 11])
+def test_hyperball_centralities_exact_replay(spark, rows_seed):
+    rows = SMALL_EDGES if rows_seed == "small" else rand_rows(rows_seed, n=25, m=60)
+    graph = build(spark, rows)
+    id_of = {r["url"]: r["id"] for r in graph.vertices.collect()}
+    urls = {r["id"]: r["url"] for r in graph.vertices.collect()}
+    got = {
+        urls[r["id"]]: (r["harmonic"], r["closeness"])
+        for r in hyperball_centralities(graph, m=16).collect()
+    }
+    exp = hyperball_oracle(rows, id_of, 16)
+    assert got.keys() == exp.keys()
+    for w, (eh, ec) in exp.items():
+        assert got[w][0] == pytest.approx(eh, rel=1e-12, abs=1e-12), w
+        assert got[w][1] == pytest.approx(ec, rel=1e-12, abs=1e-12), w
+    graph.unpersist()
+
+
+def test_hyperball_rank_correlation_vs_exact(spark):
+    """The HyperBall harmonic ESTIMATE must rank vertices consistently with
+    the exact MS-BFS harmonic on the 100-vertex fixture class (m=16 HLL has
+    ~26% per-counter error; rank order is what survives — the property a
+    centrality consumer actually uses)."""
+    rows = rand_rows(5, n=100, m=400)
+    graph = build(spark, rows)
+    urls = {r["id"]: r["url"] for r in graph.vertices.collect()}
+    approx = {
+        urls[r["id"]]: r["harmonic"]
+        for r in hyperball_centralities(graph, m=16).collect()
+    }
+    exact = harmonic_oracle(rows)
+    keys = sorted(exact)
+    a = pd.Series([approx[k] for k in keys]).rank()
+    b = pd.Series([exact[k] for k in keys]).rank()
+    rho = a.corr(b)  # Spearman: Pearson of the (tie-averaged) ranks
+    assert rho > 0.8, rho
+    # and the estimate is not a constant / degenerate vector
+    assert max(approx.values()) > min(approx.values())
+    graph.unpersist()
+
+
+def test_exact_harmonic_all_sources_warns(spark):
+    """seed_ids=None (exact all-sources MS-BFS) is the documented
+    small-graph-only path: it must warn, and still be exact."""
+    graph = build(spark, SMALL_EDGES)
+    with pytest.warns(UserWarning, match="small-graph-only"):
+        h = harmonic_centrality(graph)
+    urls = {r["id"]: r["url"] for r in graph.vertices.collect()}
+    got = {urls[r["id"]]: r["harmonic"] for r in h.collect()}
+    exp = harmonic_oracle(SMALL_EDGES)
+    for k, v in exp.items():
+        if v > 0:
+            assert got[k] == pytest.approx(v, rel=1e-12), k
+    graph.unpersist()

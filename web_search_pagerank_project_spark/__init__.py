@@ -37,6 +37,7 @@ from .operators.linkpred import common_neighbors_topk
 from .operators.hostgraph import host_of, host_edges
 from .operators.anf import (
     neighborhood_function,
+    hyperball_centralities,
     effective_diameter,
     hll_init_registers,
 )
@@ -78,6 +79,7 @@ __all__ = [
     "host_of",
     "host_edges",
     "neighborhood_function",
+    "hyperball_centralities",
     "effective_diameter",
     "hll_init_registers",
     "sample_gate",

@@ -54,11 +54,17 @@ __all__ = [
     "lcg_hash",
     "hll_init_registers",
     "neighborhood_function",
+    "hyperball_centralities",
     "effective_diameter",
 ]
 
 _LCG_A, _LCG_C, _LCG_M = 1103515245, 12345, 1 << 31
-_RANK_CAP = 25  # ranks above this are unreachable with a 31-bit hash / m>=16
+# Sentinel rank assigned when the post-index hash bits are all zero (rest==0
+# leaves no lowest-set-bit to read). Computed ranks from nonzero rest can
+# legitimately reach 1 + (31 - log2(m)) — e.g. 27 for m=16 — this constant is
+# NOT an upper bound on them, just the rest==0 stand-in, replayed verbatim by
+# the SQL oracle.
+_RANK_CAP = 25
 
 
 def lcg_hash(id_col: Column) -> Column:
@@ -200,6 +206,133 @@ def neighborhood_function(
         out.append((t, float(row["nf"])))
     edges.unpersist()
     return spark.createDataFrame(out, "t int, nf double")
+
+
+def hyperball_centralities(
+    graph: GraphTables,
+    m: int = 16,
+    max_t: int = 256,
+    hash_col=lcg_hash,
+) -> DataFrame:
+    """Approximate harmonic and closeness centrality from HyperBall counter
+    deltas (Boldi-Vigna 2013 §3): maintaining one HLL counter per vertex
+    over its IN-ball B⁻(v, t) = {u : dist(u, v) <= t}, both geometric
+    centralities fall out of the per-round estimate deltas
+
+        harmonic(v)  = Σ_t (|B⁻(v,t)| − |B⁻(v,t−1)|) / t
+        closeness(v) = 1 / Σ_t t · (|B⁻(v,t)| − |B⁻(v,t−1)|)      (0 if no
+                       vertex reaches v)
+
+    with NO extra shuffles over the neighborhood-function loop: the two
+    accumulators are two extra double columns updated in the same per-round
+    projection. This is the 100-TB-shaped replacement for the exact
+    all-sources ``operators.msbfs.harmonic_centrality`` default, whose
+    O(V·E/64) wave schedule is test/small-graph-only — here the whole graph
+    costs one register-table sweep per round of the (effective-)diameter
+    rounds, with m tinyints + 3 doubles of state per vertex.
+
+    In-balls mean counters flow ALONG edge direction (v absorbs its
+    predecessors' counters), the mirror image of ``neighborhood_function``'s
+    out-balls, so edges are partitioned once on src_id — the per-round join
+    key on this orientation.
+
+    Returns (id, harmonic double, closeness double), one row per vertex.
+    Deterministic given ``hash_col``; with the default LCG hash the whole
+    estimator (registers, deltas, divisions) is exactly replayable by the
+    ANSI-SQL oracle, same technique as ``neighborhood_function``.
+    """
+    spark = graph.edges.sparkSession
+    npart = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    rcols = [f"r{jj}" for jj in range(m)]
+
+    edges = (
+        graph.edges.select("src_id", "dst_id")
+        .filter(F.col("src_id") != F.col("dst_id"))
+        .distinct()
+        .repartition(npart, "src_id")
+        .persist()
+    )
+    # state: registers + pe (previous round's own-ball estimate) + the two
+    # centrality accumulators. pe starts at the singleton-ball estimate so
+    # round 1's delta is |B⁻(v,1)| − |B⁻(v,0)| exactly.
+    regs = (
+        hll_init_registers(graph.vertices, m, hash_col)
+        .withColumn("pe", _estimate(m))
+        .withColumn("h", F.lit(0.0))
+        .withColumn("sd", F.lit(0.0))
+        .repartition(npart, "id")
+        .localCheckpoint(eager=True)
+    )
+
+    # systolic frontier, same exactness argument as neighborhood_function:
+    # an unchanged vertex's registers were absorbed the round it last
+    # changed, so only changed rows need to propagate; unchanged vertices
+    # see delta == 0.0 exactly (est is a deterministic function of the
+    # registers), so the accumulators are untouched on quiet rounds.
+    frontier = regs
+    for t in range(1, max_t + 1):
+        nbr = (
+            edges.join(
+                frontier.withColumnRenamed("id", "src_id")
+                .select("src_id", *rcols)
+                .hint("shuffle_hash"),
+                "src_id",
+            )
+            .groupBy(F.col("dst_id").alias("id"))
+            .agg(*[F.max(c).alias(f"n_{c}") for c in rcols])
+        )
+        merged = (
+            regs.join(nbr.hint("shuffle_hash"), "id", "left")
+            .select(
+                "id",
+                *[
+                    F.greatest(
+                        F.col(c), F.coalesce(F.col(f"n_{c}"), F.lit(0))
+                    ).alias(c)
+                    for c in rcols
+                ],
+                "pe",
+                "h",
+                "sd",
+                F.greatest(
+                    *[
+                        (F.coalesce(F.col(f"n_{c}"), F.lit(0)) > F.col(c)).cast(
+                            "int"
+                        )
+                        for c in rcols
+                    ]
+                ).alias("chg"),
+            )
+            .withColumn("est", _estimate(m))
+            .select(
+                "id",
+                *rcols,
+                F.col("est").alias("pe"),
+                (F.col("h") + (F.col("est") - F.col("pe")) / F.lit(float(t))).alias(
+                    "h"
+                ),
+                (F.col("sd") + (F.col("est") - F.col("pe")) * F.lit(float(t))).alias(
+                    "sd"
+                ),
+                "chg",
+            )
+            .transform(lambda df: cut_lineage(df, eager=True))
+        )
+        nchg = int(
+            merged.agg(F.sum("chg").alias("nchg")).collect()[0]["nchg"] or 0
+        )
+        regs = merged.drop("chg")
+        if nchg == 0:
+            break
+        frontier = merged.filter(F.col("chg") == 1)
+    edges.unpersist()
+    return regs.select(
+        "id",
+        F.col("h").alias("harmonic"),
+        F.when(F.col("sd") > 0.0, F.lit(1.0) / F.col("sd"))
+        .otherwise(F.lit(0.0))
+        .alias("closeness"),
+    )
 
 
 def effective_diameter(nf_rows: list[tuple[int, float]], fraction: float = 0.9) -> float:

@@ -37,6 +37,9 @@ rounds (observed at 2M edges). cut_lineage resets leaf statistics.
 
 from __future__ import annotations
 
+import warnings
+from itertools import islice
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -48,17 +51,38 @@ __all__ = ["ms_bfs_bits", "harmonic_centrality"]
 _WAVE = 64  # bits per int64 bitmask
 
 
+def _prepare_wave_edges(
+    graph: GraphTables, from_col: str, to_col: str, npart: int
+) -> DataFrame:
+    """Dedup + partition the edge table on the wave-join key, once. Multi-
+    wave callers (harmonic_centrality) prepare this a single time and pass
+    it to every ms_bfs_bits call — re-deriving it per wave would re-shuffle
+    the full edge table ceil(V/64) times on the all-sources path."""
+    return (
+        graph.edges.select(from_col, to_col)
+        .filter(F.col("src_id") != F.col("dst_id"))
+        .distinct()
+        .repartition(npart, from_col)
+        .persist()
+    )
+
+
 def ms_bfs_bits(
     graph: GraphTables,
     seed_ids: list[int],
     direction: str = "forward",
     max_depth: int = 1000,
+    prepared_edges: DataFrame | None = None,
 ) -> DataFrame:
     """One bit-parallel wave (<= 64 sources): returns per-round first-touch
     sets as (id, depth, fresh_bits) rows, where bit j of ``fresh_bits``
     means ``seed_ids[j]`` first reached ``id`` at exactly ``depth`` hops
     (seed self-rows at depth 0 included). Building block for harmonic /
     closeness centrality and reach statistics.
+
+    ``prepared_edges``: a _prepare_wave_edges result for this direction,
+    owned (persisted/unpersisted) by the caller; when None, this wave
+    prepares and releases its own copy.
     """
     if not 1 <= len(seed_ids) <= _WAVE:
         raise ValueError(f"a wave takes 1..{_WAVE} seeds, got {len(seed_ids)}")
@@ -71,12 +95,11 @@ def ms_bfs_bits(
     spark = graph.edges.sparkSession
     npart = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
 
+    owns_edges = prepared_edges is None
     edges = (
-        graph.edges.select(from_col, to_col)
-        .filter(F.col("src_id") != F.col("dst_id"))
-        .distinct()
-        .repartition(npart, from_col)
-        .persist()
+        _prepare_wave_edges(graph, from_col, to_col, npart)
+        if owns_edges
+        else prepared_edges
     )
 
     # bit 63 is the int64 sign bit: represent it as the two's-complement
@@ -136,14 +159,16 @@ def ms_bfs_bits(
         )
         frontier = fresh
     else:
-        edges.unpersist()
+        if owns_edges:
+            edges.unpersist()
         raise RuntimeError(f"ms_bfs_bits: frontier alive after max_depth={max_depth}")
 
     out = touches[0]
     for t in touches[1:]:
         out = out.unionByName(t)
     result = out.localCheckpoint(eager=True)
-    edges.unpersist()
+    if owns_edges:
+        edges.unpersist()
     return result
 
 
@@ -162,25 +187,63 @@ def harmonic_centrality(
 
     Exact, deterministic: counts are integral per (vertex, depth, wave);
     the only float work is the final sum of count/depth terms.
+
+    SCALE BOUNDARY — the exact all-sources default is a small-graph /
+    test-oracle path: it is inherently O(V·E/64) work across ceil(V/64)
+    waves (sequential here to bound local-mode memory; on a cluster the
+    waves are embarrassingly parallel jobs). Seed ids stream to the driver
+    in wave-sized batches via toLocalIterator — never one O(V) collect —
+    but the wave count itself is the cost. At web scale use
+    ``operators.anf.hyperball_centralities``: the HyperBall counter-delta
+    estimator covers every vertex in one register sweep per diameter
+    round.
     """
+    spark = graph.edges.sparkSession
+    npart = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    from_col = "src_id" if direction == "forward" else "dst_id"
+    to_col = "dst_id" if direction == "forward" else "src_id"
+
     if seed_ids is None:
-        seed_ids = [r["id"] for r in graph.vertices.select("id").orderBy("id").collect()]
-    if not seed_ids:
-        raise ValueError("no sources")
-    waves = [seed_ids[i : i + _WAVE] for i in range(0, len(seed_ids), _WAVE)]
-    parts = []
-    for wave in waves:
-        touches = ms_bfs_bits(graph, wave, direction=direction, max_depth=max_depth)
-        parts.append(
-            touches.filter(F.col("depth") >= 1).select(
+        warnings.warn(
+            "harmonic_centrality(seed_ids=None) runs exact all-sources "
+            "MS-BFS: ceil(V/64) waves, O(V*E/64) total work — exact but "
+            "small-graph-only; use anf.hyperball_centralities at scale",
+            stacklevel=2,
+        )
+        seed_iter = (
+            r["id"]
+            for r in graph.vertices.select("id").orderBy("id").toLocalIterator()
+        )
+    else:
+        if not seed_ids:
+            raise ValueError("no sources")
+        seed_iter = iter(seed_ids)
+
+    # dedup/partition/persist the wave-join edge table ONCE for every wave
+    edges = _prepare_wave_edges(graph, from_col, to_col, npart)
+    out = None
+    try:
+        while True:
+            wave = list(islice(seed_iter, _WAVE))
+            if not wave:
+                break
+            touches = ms_bfs_bits(
+                graph,
+                wave,
+                direction=direction,
+                max_depth=max_depth,
+                prepared_edges=edges,
+            )
+            part = touches.filter(F.col("depth") >= 1).select(
                 "id",
                 (
                     F.bit_count("fresh_bits").cast("double")
                     / F.col("depth").cast("double")
                 ).alias("h"),
             )
-        )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
+            out = part if out is None else out.unionByName(part)
+    finally:
+        edges.unpersist()
+    if out is None:
+        raise ValueError("no sources")
     return out.groupBy("id").agg(F.sum("h").alias("harmonic"))

@@ -48,6 +48,7 @@ def build_parser() -> argparse.ArgumentParser:
             "scc",
             "bowtie",
             "harmonic",
+            "hyperball",
             "anf",
             "assortativity",
             "hostgraph",
@@ -164,10 +165,27 @@ def main(argv: list[str] | None = None) -> None:
         elif args.algorithm == "harmonic":
             from ..operators.msbfs import harmonic_centrality
 
+            # left join + coalesce: vertices reached by no source score 0.0,
+            # matching the contract query's dense output (X17) — an inner
+            # join would silently drop them
+            h = harmonic_centrality(graph)
             out = (
-                harmonic_centrality(graph)
-                .join(graph.vertices, "id")
-                .select("url", "harmonic")
+                graph.vertices.join(h, "id", "left")
+                .select(
+                    "url", F.coalesce(F.col("harmonic"), F.lit(0.0)).alias("harmonic")
+                )
+                .orderBy(F.desc("harmonic"), "url")
+            )
+        elif args.algorithm == "hyperball":
+            from ..operators.anf import hyperball_centralities
+
+            out = (
+                graph.vertices.join(hyperball_centralities(graph, m=16), "id", "left")
+                .select(
+                    "url",
+                    F.coalesce(F.col("harmonic"), F.lit(0.0)).alias("harmonic"),
+                    F.coalesce(F.col("closeness"), F.lit(0.0)).alias("closeness"),
+                )
                 .orderBy(F.desc("harmonic"), "url")
             )
         elif args.algorithm == "anf":
