@@ -1230,6 +1230,65 @@ def q_hyperball_centralities(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _split_edges(spark: SparkSession, sf_dir: str):
+    """Deterministic base/delta partition of the derived edge table (by
+    source document id), for the incremental-maintenance queries: base ∪
+    delta is exactly the full edge table, so the incremental path must
+    reproduce the full-build oracles verbatim."""
+    from web_search_pagerank_project_spark.sources.synth import (
+        derive_edges_from_documents,
+    )
+
+    docs = _docs(spark, sf_dir)
+    base = derive_edges_from_documents(
+        docs.filter(F.col("doc_id") % 7 != 0), n_vertices=V
+    )
+    delta = derive_edges_from_documents(
+        docs.filter(F.col("doc_id") % 7 == 0), n_vertices=V
+    )
+    return base, delta
+
+
+def q_incremental_edge_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X23: incremental snapshot maintenance (operators/incremental.py).
+    Build the graph from ~6/7 of the edges, patch in the rest with
+    update_graph (dictionary-stable ids, multiplicity merge, weight
+    refresh), and emit the weighted edge table by url. The oracle is the
+    ONE-SHOT full build's — the equivalence contract, hash-checked."""
+    from web_search_pagerank_project_spark import build_graph, update_graph
+
+    base, delta = _split_edges(spark, sf_dir)
+    g0 = build_graph(base, cache=True, keep_mult=True)
+    g1 = update_graph(g0, delta)
+    v = g1.vertices
+    return (
+        g1.edges.join(v.withColumnRenamed("url", "src_url"), g1.edges.src_id == v.id)
+        .drop("id")
+        .join(
+            v.withColumnRenamed("url", "dst_url").withColumnRenamed("id", "id2"),
+            F.col("dst_id") == F.col("id2"),
+        )
+        .select("src_url", "dst_url", F.round("weight", 6).alias("weight"))
+    )
+
+
+def q_incremental_pagerank_3iter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X23b: the composition that matters — PageRank runs on an
+    incrementally-updated snapshot and must score exactly like a fresh
+    full build (same oracle as pagerank_3iter)."""
+    from web_search_pagerank_project_spark import build_graph, pagerank, update_graph
+
+    base, delta = _split_edges(spark, sf_dir)
+    g0 = build_graph(base, cache=True, keep_mult=True)
+    g1 = update_graph(g0, delta)
+    res = pagerank(g1, alpha=0.85, max_iterations=3, epsilon=0.0)
+    return (
+        res.by_url(g1)
+        .select("url", F.round("rank", 6).alias("score"))
+        .orderBy(F.desc("score"), F.asc("url"))
+    )
+
+
 def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X21: deterministic hash-stratified corpus sampling over documents
     (functions/sampling.py): per-language keep rates behind a pure integer
@@ -1297,6 +1356,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_pagerank_3iter": q_host_pagerank_3iter,
         "neighborhood_function": q_neighborhood_function,
         "hyperball_centralities": q_hyperball_centralities,
+        "incremental_edge_weights": q_incremental_edge_weights,
+        "incremental_pagerank_3iter": q_incremental_pagerank_3iter,
         "stratified_sample": q_stratified_sample,
     }
 
@@ -1356,6 +1417,15 @@ def oracle_sql() -> dict[str, str]:
         ORDER BY url
         """,
         "pagerank_3iter": _pr_oracle_sql("1.0"),
+        # incremental maintenance: the oracle is the ONE-SHOT full build —
+        # update_graph(base, delta) must reproduce it bit-for-bit in
+        # (url, url, weight) space (same integer mult / integer outdeg)
+        "incremental_edge_weights": _GRAPH_SQL_PREFIX
+        + """
+        SELECT src AS src_url, dst AS dst_url, ROUND(weight, 6) AS weight
+        FROM pw
+        """,
+        "incremental_pagerank_3iter": _pr_oracle_sql("1.0"),
         "pagerank_personalized_3iter": _pr_oracle_sql(
             "CASE WHEN url LIKE '%n1%' THEN 1.0 ELSE 0.0 END"
         ),

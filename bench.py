@@ -281,10 +281,13 @@ def run_benchmarks(spark):
                 graph, k=20, max_center_degree=64
             ).count(),
         )
+        # min-of-2 for the heavy iterative ops (VERDICT r4 item 8): n=1
+        # walls were un-cross-checkable against host noise; two runs bound
+        # the same-session jitter while keeping the section's cost sane
         timed_gop(
             "scc",
             lambda: strongly_connected_components(graph).labels.count(),
-            n=1,
+            n=min(2, repeats),
         )
         # round-4b breadth: one 64-source MS-BFS wave (the unit of work a
         # cluster fans out across waves), assortativity (single pass),
@@ -302,13 +305,23 @@ def run_benchmarks(spark):
         timed_gop(
             "harmonic_64src_wave",
             lambda: harmonic_centrality(graph, seed_ids=list(range(64))).count(),
-            n=1,
+            n=min(2, repeats),
         )
         timed_gop("assortativity", lambda: degree_assortativity(graph))
         timed_gop(
             "hyperball_nf",
             lambda: neighborhood_function(graph, m=16).count(),
-            n=1,
+            n=min(2, repeats),
+        )
+        # round-5: HyperBall-derived approximate harmonic+closeness — the
+        # scale path that replaces all-sources exact MS-BFS (same loop
+        # shape as hyperball_nf plus the two accumulator columns)
+        from web_search_pagerank_project_spark import hyperball_centralities
+
+        timed_gop(
+            "hyperball_centralities",
+            lambda: hyperball_centralities(graph, m=16).count(),
+            n=min(2, repeats),
         )
         host_urls = raw_edges.select(
             _F.concat(
@@ -325,6 +338,61 @@ def run_benchmarks(spark):
             ).alias("dst"),
         )
         timed_gop("host_collapse", lambda: host_edges(host_urls).count())
+
+        # round-5: incremental snapshot maintenance (the Common-Crawl
+        # monthly-delta operating mode). Split the synth edges 99/1 by a
+        # deterministic hash, build+converge the base snapshot, patch the
+        # 1% delta in with update_graph, and re-converge warm (x0 = the
+        # base snapshot's ranks) vs cold. Walls are n=1 (three PageRank
+        # convergences inside already); the iteration counts are
+        # deterministic and the real signal.
+        from web_search_pagerank_project_spark import pagerank as _pr
+        from web_search_pagerank_project_spark import update_graph
+
+        split = raw_edges.withColumn(
+            "_h", _F.pmod(_F.xxhash64("src", "dst"), _F.lit(100))
+        )
+        base_edges = split.filter("_h != 0").drop("_h")
+        delta_edges = split.filter("_h = 0").drop("_h").localCheckpoint(eager=True)
+        inc_eps, inc_cap, inc_ipa = 1e-4, 40, 2
+        t0 = time.monotonic()
+        g_base = build_graph(base_edges, cache=True, keep_mult=True)
+        base_build_w = time.monotonic() - t0
+        prev = _pr(
+            g_base, epsilon=inc_eps, max_iterations=inc_cap,
+            iters_per_action=inc_ipa,
+        )
+        t0 = time.monotonic()
+        g_upd = update_graph(g_base, delta_edges)
+        update_w = time.monotonic() - t0
+        t0 = time.monotonic()
+        warm = _pr(
+            g_upd, epsilon=inc_eps, max_iterations=inc_cap,
+            iters_per_action=inc_ipa, x0=prev.ranks,
+        )
+        warm_w = time.monotonic() - t0
+        t0 = time.monotonic()
+        cold = _pr(
+            g_upd, epsilon=inc_eps, max_iterations=inc_cap,
+            iters_per_action=inc_ipa,
+        )
+        cold_w = time.monotonic() - t0
+        detail["incremental"] = {
+            "delta_pct": 1,
+            "epsilon": inc_eps,
+            "base_build_wall": round(base_build_w, 3),
+            "update_wall": round(update_w, 3),
+            "warm_pagerank_wall": round(warm_w, 3),
+            "cold_pagerank_wall": round(cold_w, 3),
+            "warm_iters": warm.iterations,
+            "cold_iters": cold.iterations,
+            "warm_final_resid": warm.residuals[-1],
+            "cold_final_resid": cold.residuals[-1],
+        }
+        g_base.unpersist()
+        g_upd.unpersist()
+        delta_edges.unpersist()
+
         detail["graph_ops"] = gops
 
     graph.unpersist()
@@ -1151,6 +1219,42 @@ once-per-action residual reaches the driver).
 """)
 
 
+def _regressions_vs_last_round(timings: dict, detail: dict) -> dict:
+    """Cross-round regression guard (VERDICT r4 item 8): compare this run's
+    per-query walls — headline AND graph_ops detail — against the newest
+    committed BENCH_r*.json at the SAME sf, and record anything >1.5x
+    slower into the artifact itself, so a silent regression of an op that
+    is not in the headline total still surfaces in the committed JSON.
+    Advisory (host noise exists); the scaling protocol is the arbiter."""
+    import glob
+
+    cands = sorted(glob.glob(os.path.join(os.path.dirname(__file__), "BENCH_r*.json")))
+    for path in reversed(cands):
+        try:
+            with open(path) as f:
+                ref = json.load(f)
+        except (OSError, json.JSONDecodeError):
+            continue
+        if abs(float(ref.get("sf", -1)) - SF) > 1e-12:
+            continue
+        out = {}
+        ref_q = dict(ref.get("queries", {}))
+        ref_q.update(ref.get("detail", {}).get("graph_ops", {}))
+        cur_q = dict(timings)
+        cur_q.update(detail.get("graph_ops", {}))
+        for k, prev_w in ref_q.items():
+            cur_w = cur_q.get(k)
+            if (
+                isinstance(prev_w, (int, float))
+                and isinstance(cur_w, (int, float))
+                and prev_w > 0.2  # sub-200ms walls are pure jitter
+                and cur_w > 1.5 * prev_w
+            ):
+                out[k] = {"prev": prev_w, "cur": cur_w, "vs": os.path.basename(path)}
+        return out
+    return {}
+
+
 def main() -> None:
     if "--scale-level" in sys.argv:
         i = sys.argv.index("--scale-level")
@@ -1167,6 +1271,9 @@ def main() -> None:
     spark = make_spark(f"local[{CPUS}]", int(CPUS) * 2)
     try:
         timings, detail, total = run_benchmarks(spark)
+        reg = _regressions_vs_last_round(timings, detail)
+        if reg:
+            detail["regressions_vs_last_round"] = reg
         print(
             json.dumps(
                 {

@@ -14,6 +14,7 @@ Public API:
 from .session import get_spark
 from .sources.edges import read_edge_csv, read_edge_parquet, edges_from_dataframe
 from .operators.graph_build import GraphTables, build_graph
+from .operators.incremental import update_graph
 from .operators.pagerank import pagerank, PageRankResult
 from .operators.csr_kernel import pagerank_csr, build_csr_blocks
 from .operators.components import (
@@ -52,6 +53,7 @@ __all__ = [
     "edges_from_dataframe",
     "GraphTables",
     "build_graph",
+    "update_graph",
     "pagerank",
     "pagerank_csr",
     "build_csr_blocks",

@@ -74,8 +74,11 @@ def assign_dense_ids(
     id_col: str = "id",
     num_partitions: int | None = None,
     return_count: bool = False,
+    start_id: int = 0,
 ):
-    """Assign dense contiguous int64 ids to a distinct `url` column.
+    """Assign dense contiguous int64 ids to a distinct `url` column,
+    starting at ``start_id`` (incremental callers pass the existing vertex
+    count so new urls extend the dictionary without renumbering).
 
     Scalable dictionary encode: range-partition by url (global
     lexicographic order — CC min-id/min-url agreement and labelprop
@@ -138,10 +141,11 @@ def assign_dense_ids(
     # served both its passes and can go
     if owns_cache:
         urls.unpersist()
-    offsets, acc = {}, 0
+    offsets, acc = {}, start_id
     for pid in sorted(counts):
         offsets[pid] = acc
         acc += counts[pid]
+    acc -= start_id  # return_count reports the batch size, not the end id
     offset_df = spark.createDataFrame(
         [(pid, off) for pid, off in offsets.items()], "_pid int, _off long"
     )
@@ -159,12 +163,26 @@ def build_graph(
     filter_ratio: float | None = None,
     num_partitions: int | None = None,
     cache: bool = True,
+    keep_mult: bool = False,
+    weight_col: str | None = None,
 ) -> GraphTables:
     """url edge list (src, dst) -> GraphTables per reference semantics.
 
     The weighted edge table is persisted pre-partitioned by ``src_id`` so the
     per-iteration SpMV join shuffles only the (small) rank vector, never the
     edges (SURVEY.md §4.3 stable co-partitioning).
+
+    keep_mult: carry the raw per-pair multiplicity as an extra ``mult``
+    column on the edge table — required input for incremental snapshot
+    maintenance (operators/incremental.py::update_graph), which must merge
+    multiplicities, not the outdeg-normalized weights.
+
+    weight_col: treat each input row as carrying ``weight_col`` parallel
+    links instead of 1 (e.g. the host graph's ``n_src_pages`` — rank hosts
+    by distinct linking pages, damping sitewide boilerplate links). The
+    multiplicity of a pair becomes SUM(weight_col); everything downstream
+    (outdeg normalization, dangling detection) is unchanged. Rows with
+    non-positive or null weight are dropped (they carry no link mass).
     """
     spark = edges.sparkSession
     if num_partitions is None:
@@ -173,6 +191,8 @@ def build_graph(
     # clean feeds BOTH the dictionary build and the edge encode; persisting it
     # saves a full re-scan/re-parse of the (gzipped CSV) source.
     clean = drop_bad_urls(edges)
+    if weight_col is not None:
+        clean = clean.filter(F.col(weight_col).isNotNull() & (F.col(weight_col) > 0))
     if cache:
         clean = clean.persist()
 
@@ -191,12 +211,13 @@ def build_graph(
         vertices = vertices.persist()
 
     # encode both endpoints (two equi-joins; AQE broadcasts small dictionaries)
+    link_cols = [] if weight_col is None else [weight_col]
     e = (
         clean.join(vertices.withColumnRenamed("url", "src"), "src")
         .withColumnRenamed("id", "src_id")
         .join(vertices.withColumnRenamed("url", "dst"), "dst")
         .withColumnRenamed("id", "dst_id")
-        .select("src_id", "dst_id")
+        .select("src_id", "dst_id", *link_cols)
     )
 
     if filter_ratio is not None:
@@ -218,10 +239,14 @@ def build_graph(
     # task — fine for web out-degrees, which are bounded by page size;
     # in-degree hubs, the skewed side, never pass through a window here.)
     w = Window.partitionBy("src_id")
+    mult_agg = (
+        F.count("*") if weight_col is None else F.sum(F.col(weight_col))
+    ).alias("mult")
+    mult_cols = ["mult"] if keep_mult else []
     weighted = (
         e.repartition(num_partitions, "src_id")
         .groupBy("src_id", "dst_id")
-        .agg(F.count("*").alias("mult"))
+        .agg(mult_agg)
         .withColumn("outdeg", F.sum("mult").over(w))
         .select(
             "src_id",
@@ -229,6 +254,7 @@ def build_graph(
             (F.col("mult").cast("double") / F.col("outdeg").cast("double")).alias(
                 "weight"
             ),
+            *mult_cols,
         )
     )
     if cache:
