@@ -83,6 +83,43 @@ _HOST_EDGES_SQL = f"""
 
 _HOST_GRAPH_SQL_PREFIX = _graph_prefix(_HOST_EDGES_SQL)
 
+
+# weighted-edge variant of _graph_prefix: the edge SQL yields (src, dst, w)
+# and a pair's multiplicity is SUM(w) instead of COUNT(*) — the SQL mirror
+# of build_graph(weight_col=...)
+def _graph_prefix_weighted(edges_sql: str) -> str:
+    return f"""
+WITH e AS ({edges_sql}),
+verts AS (
+    SELECT DISTINCT url FROM (
+        SELECT src AS url FROM e UNION ALL SELECT dst AS url FROM e
+    )
+),
+nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM verts),
+mult AS (SELECT src, dst, SUM(w) AS m FROM e GROUP BY src, dst),
+outdeg AS (SELECT src, SUM(m) AS od FROM mult GROUP BY src),
+pw AS (
+    SELECT mult.src, mult.dst, mult.m / outdeg.od AS weight
+    FROM mult JOIN outdeg ON mult.src = outdeg.src
+)
+"""
+
+
+# host edges weighted by DISTINCT LINKING PAGES (n_src_pages): the weight
+# that damps sitewide boilerplate links — a host linking from 1000 pages
+# carries 1000x the n_src_pages mass of a single deep link, but duplicate
+# links from the SAME page count once
+_HOST_EDGES_WEIGHTED_SQL = f"""
+    SELECT src, dst, CAST(COUNT(DISTINCT src_page) AS DOUBLE) AS w FROM (
+        SELECT 'h' || CAST((doc_id * doc_id) % 13 AS VARCHAR) || '.example' AS src,
+               'h' || CAST(((doc_id * {_A} + {_C}) % {_M}) % 13 AS VARCHAR)
+                 || '.example' AS dst,
+               'http://h' || CAST((doc_id * doc_id) % 13 AS VARCHAR)
+                 || '.example/p' || CAST(doc_id AS VARCHAR) AS src_page
+        FROM documents
+    ) WHERE src <> dst GROUP BY src, dst
+"""
+
 # degree-ordered edge orientation (triangles.py:26-56) as appendable CTEs —
 # shared by the triangle_count and triangles_per_vertex oracles
 _ORIENTED_SQL = """
@@ -1193,6 +1230,40 @@ def q_host_pagerank_3iter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_host_pagerank_weighted_3iter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X19c: host PageRank weighted by DISTINCT LINKING PAGES — the reason
+    host_edges carries n_src_pages (hostgraph.py): sitewide boilerplate
+    links from one page count once, while a host linking from many pages
+    carries proportional mass. build_graph(weight_col='n_src_pages') turns
+    the column into edge multiplicity; the oracle replays SUM(w)-multiplicity
+    weights through the same unrolled power method."""
+    from web_search_pagerank_project_spark import build_graph, host_edges, pagerank
+
+    docs = _docs(spark, sf_dir)
+    pages = docs.select(
+        F.concat(
+            F.lit("http://h"),
+            ((F.col("doc_id") * F.col("doc_id")) % 13).cast("string"),
+            F.lit(".example/p"),
+            F.col("doc_id").cast("string"),
+        ).alias("src"),
+        F.concat(
+            F.lit("http://h"),
+            (((F.col("doc_id") * _A + _C) % _M) % 13).cast("string"),
+            F.lit(".example/p"),
+            ((F.col("doc_id") * 7) % 1000).cast("string"),
+        ).alias("dst"),
+    )
+    he = host_edges(pages)  # (src, dst, n_links, n_src_pages), intra dropped
+    graph = build_graph(he, cache=True, weight_col="n_src_pages")
+    res = pagerank(graph, alpha=0.85, max_iterations=3, epsilon=0.0)
+    return (
+        res.by_url(graph)
+        .select("url", F.round("rank", 6).alias("score"))
+        .orderBy(F.desc("score"), F.asc("url"))
+    )
+
+
 def q_neighborhood_function(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X20: HyperBall approximate neighborhood function N(t) with m=16
     registers and the portable LCG hash (operators/anf.py; Boldi-Vigna
@@ -1354,6 +1425,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "degree_assortativity": q_degree_assortativity,
         "host_graph": q_host_graph,
         "host_pagerank_3iter": q_host_pagerank_3iter,
+        "host_pagerank_weighted_3iter": q_host_pagerank_weighted_3iter,
         "neighborhood_function": q_neighborhood_function,
         "hyperball_centralities": q_hyperball_centralities,
         "incremental_edge_weights": q_incremental_edge_weights,
@@ -1982,6 +2054,11 @@ def oracle_sql() -> dict[str, str]:
         # method — same _pr_oracle_sql machinery, host-edge CTE prefix
         "host_pagerank_3iter": _pr_oracle_sql(
             "1.0", iters=3, prefix=_HOST_GRAPH_SQL_PREFIX
+        ),
+        "host_pagerank_weighted_3iter": _pr_oracle_sql(
+            "1.0",
+            iters=3,
+            prefix=_graph_prefix_weighted(_HOST_EDGES_WEIGHTED_SQL),
         ),
         # exact replay of HyperBall (operators/anf.py): registers of
         # ball(v, t) = MAX over the walk closure of the singleton-register

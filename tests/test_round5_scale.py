@@ -98,6 +98,40 @@ def test_hyperball_rank_correlation_vs_exact(spark):
     graph.unpersist()
 
 
+def test_build_graph_weight_col(spark):
+    """build_graph(weight_col=...): a row carries w parallel links instead
+    of 1 — per-pair multiplicity = SUM(w), weights = mult/outdeg as usual;
+    null / non-positive rows carry no link mass and are dropped (the
+    vertex dictionary follows the kept rows)."""
+    from web_search_pagerank_project_spark import build_graph
+    from web_search_pagerank_project_spark.operators.graph_build import (
+        dangling_vertices,
+    )
+
+    rows = [
+        ("a", "b", 3),
+        ("a", "b", 2),  # duplicate pair: multiplicities sum -> 5
+        ("a", "c", 1),
+        ("b", "a", 2),
+        ("c", "a", 0),  # zero-mass row: dropped, c becomes dangling
+        ("c", "b", None),  # null mass: dropped
+    ]
+    df = spark.createDataFrame(rows, "src string, dst string, w long")
+    g = build_graph(df, cache=True, weight_col="w")
+    urls = {r["id"]: r["url"] for r in g.vertices.collect()}
+    got = {
+        (urls[r["src_id"]], urls[r["dst_id"]]): r["weight"]
+        for r in g.edges.collect()
+    }
+    assert got == {
+        ("a", "b"): 5.0 / 6.0,
+        ("a", "c"): 1.0 / 6.0,
+        ("b", "a"): 1.0,
+    }
+    assert {urls[r["id"]] for r in dangling_vertices(g).collect()} == {"c"}
+    g.unpersist()
+
+
 def test_exact_harmonic_all_sources_warns(spark):
     """seed_ids=None (exact all-sources MS-BFS) is the documented
     small-graph-only path: it must warn, and still be exact."""
