@@ -284,11 +284,20 @@ def run_benchmarks(spark):
         # min-of-2 for the heavy iterative ops (VERDICT r4 item 8): n=1
         # walls were un-cross-checkable against host noise; two runs bound
         # the same-session jitter while keeping the section's cost sane
-        timed_gop(
-            "scc",
-            lambda: strongly_connected_components(graph).labels.count(),
-            n=min(2, repeats),
-        )
+        scc_stats: dict[str, object] = {}
+
+        def _scc_run():
+            r = strongly_connected_components(graph)
+            n = r.labels.count()
+            # phase breakdown of the costliest graph-op (VERDICT r4 item
+            # 3) — deterministic round counts + this run's stage walls
+            scc_stats.update(
+                {"phases": r.phases, "rounds": r.rounds, "stats": r.phase_stats}
+            )
+            return n
+
+        timed_gop("scc", _scc_run, n=min(2, repeats))
+        detail["scc_phases"] = scc_stats
         # round-4b breadth: one 64-source MS-BFS wave (the unit of work a
         # cluster fans out across waves), assortativity (single pass),
         # HyperBall to its register fixed point (iterative, run once), and
