@@ -211,3 +211,122 @@ def test_common_neighbors_center_degree_cap(spark):
     assert capped[("l1", "l2")] == 1  # hub wedge gone, m wedge stays
     assert ("l3", "l4") not in capped  # hub was the only witness
     graph.unpersist()
+
+
+# ---- adversarial wedge skew (VERDICT r4 item 4): near-clique + mega-hub ----
+#
+# The fixture that kills a naive wedge join: a 1500-leaf star hub whose
+# undirected center wedge count is C(1500, 2) ~ 1.1M rows behind ONE join
+# key, glued to a 24-clique (real triangles) so the operators still have
+# work to do. The oriented triangle join must keep every join key's output
+# bounded by indeg_oriented * outdeg_oriented with outdeg = O(sqrt m); the
+# link-prediction cap must cut the wedge volume by orders of magnitude.
+
+_CLIQUE_N = 24
+_HUB_LEAVES = 1500
+
+
+def _skew_rows():
+    rows = [
+        (f"c{i:02d}", f"c{j:02d}")
+        for i in range(_CLIQUE_N)
+        for j in range(i + 1, _CLIQUE_N)
+    ]
+    rows += [(f"hub", f"l{i:04d}") for i in range(_HUB_LEAVES)]
+    # hub touches one adjacent clique pair -> exactly one extra triangle
+    rows += [("hub", "c00"), ("hub", "c01")]
+    return rows
+
+
+def test_oriented_wedge_join_bounded_under_hub_skew(spark):
+    from web_search_pagerank_project_spark.operators.triangles import (
+        _oriented_edges,
+        _undirected_degrees,
+        _undirected_edges,
+    )
+
+    graph = build(spark, _skew_rows())
+    und = _undirected_edges(graph)
+    m = und.count()
+
+    # the naive wedge join's hub key: C(deg_hub, 2) rows behind one reducer
+    deg = _undirected_degrees(und)
+    naive_per_key = deg.select(
+        (F.col("deg") * (F.col("deg") - 1) / 2).alias("wedges")
+    )
+    naive_max = naive_per_key.agg(F.max("wedges")).collect()[0][0]
+    assert naive_max >= _HUB_LEAVES * (_HUB_LEAVES + 1) / 2  # ~1.1M
+
+    # the oriented join keys on the wedge center b; its per-key output is
+    # indeg_oriented(b) * outdeg_oriented(b). Orientation points every
+    # star edge AT the hub (leaves have lower degree), so the hub key
+    # produces ZERO wedge rows and every key stays O(m) — three orders of
+    # magnitude under the naive hub key.
+    oriented = _oriented_edges(graph, 4)
+    outd = oriented.groupBy(F.col("a").alias("id")).agg(F.count("*").alias("od"))
+    ind = oriented.groupBy(F.col("b").alias("id")).agg(F.count("*").alias("ido"))
+    per_key = (
+        outd.join(ind, "id", "full")
+        .select(
+            (
+                F.coalesce(F.col("od"), F.lit(0))
+                * F.coalesce(F.col("ido"), F.lit(0))
+            ).alias("rows_b")
+        )
+        .agg(F.max("rows_b"))
+        .collect()[0][0]
+    )
+    assert per_key <= 2 * m, (per_key, m)
+    assert naive_max > 500 * per_key, (naive_max, per_key)
+
+    # max oriented out-degree is the O(sqrt m) guarantee itself
+    max_od = outd.agg(F.max("od")).collect()[0][0]
+    assert max_od <= 2 * math.isqrt(2 * m) + 2, (max_od, m)
+    oriented.unpersist()
+    graph.unpersist()
+
+
+def test_triangle_count_exact_under_hub_skew(spark):
+    from web_search_pagerank_project_spark import triangle_count
+
+    graph = build(spark, _skew_rows())
+    # C(24,3) clique triangles + the single hub-c00-c01 triangle
+    expect = _CLIQUE_N * (_CLIQUE_N - 1) * (_CLIQUE_N - 2) // 6 + 1
+    assert triangle_count(graph) == expect
+    graph.unpersist()
+
+
+def test_common_neighbors_cap_cuts_hub_wedges(spark):
+    from web_search_pagerank_project_spark.operators.triangles import (
+        _undirected_degrees,
+        _undirected_edges,
+    )
+
+    graph = build(spark, _skew_rows())
+    deg = _undirected_degrees(_undirected_edges(graph))
+
+    # wedge volume the join would materialize: sum over admitted centers
+    # of C(deg, 2) — the cap removes the hub's ~1.1M-row key entirely
+    def volume(cap):
+        d = deg if cap is None else deg.filter(F.col("deg") <= cap)
+        return (
+            d.select((F.col("deg") * (F.col("deg") - 1) / 2).alias("w"))
+            .agg(F.coalesce(F.sum("w"), F.lit(0.0)))
+            .collect()[0][0]
+        )
+
+    v_uncapped, v_capped = volume(None), volume(64)
+    # capped volume is the clique's C(23,2) wedges (~6k); uncapped is
+    # dominated by the hub's ~1.1M — two orders of magnitude apart
+    assert v_uncapped > 100 * v_capped, (v_uncapped, v_capped)
+
+    # and the capped operator actually runs, returns deterministic rows,
+    # and witnesses no hub-centered leaf pair
+    got = common_neighbors_topk(graph, k=10, max_center_degree=64).collect()
+    assert got
+    urls = url_of(graph)
+    for r in got:
+        assert not (
+            urls[r["id_a"]].startswith("l") and urls[r["id_b"]].startswith("l")
+        ), r
+    graph.unpersist()

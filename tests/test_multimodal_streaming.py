@@ -107,3 +107,55 @@ def test_streaming_degree_counts(spark, tmp_path):
     # watermark append-mode may hold the open window; accept either emitted
     # rows or (valid) empty set, but the query must run without error
     assert isinstance(got, list)
+
+
+def test_streaming_to_batch_graph_bridge(spark, tmp_path):
+    """Round-5 item 5: the streaming surface pinned to the BATCH numeric
+    contract — edges ingested through readStream -> exactly-once parquet
+    sink must build the same graph and produce the same PageRank scores as
+    the batch path fed the identical edge rows. Two landing files exercise
+    multi-batch file discovery; scores compare at 1e-12 (same engine, same
+    float path, only the ingest route differs)."""
+    from web_search_pagerank_project_spark import build_graph, pagerank
+    from web_search_pagerank_project_spark.streaming.ingest import (
+        sink_to_parquet,
+        stream_edges_from_csv,
+    )
+
+    rows = [("a", "b"), ("b", "c"), ("c", "a"), ("c", "b"), ("a", "b"), ("d", "a")]
+    landing = tmp_path / "landing_bridge"
+    landing.mkdir()
+    (landing / "crawl1.csv").write_text(
+        "source,target,ts\n"
+        + "".join(f"{s},{t},2024-01-01T00:00:00\n" for s, t in rows[:3])
+    )
+    (landing / "crawl2.csv").write_text(
+        "source,target,ts\n"
+        + "".join(f"{s},{t},2024-01-01T00:05:00\n" for s, t in rows[3:])
+    )
+
+    out, ck = tmp_path / "bridge_out", tmp_path / "bridge_ck"
+    q = sink_to_parquet(
+        stream_edges_from_csv(spark, str(landing)), str(out), str(ck)
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    streamed = spark.read.parquet(str(out)).select("src", "dst")
+    assert streamed.count() == len(rows)
+
+    g_stream = build_graph(streamed, cache=True)
+    g_batch = build_graph(
+        spark.createDataFrame(rows, "src string, dst string"), cache=True
+    )
+    r_stream = pagerank(g_stream, max_iterations=3, epsilon=0.0)
+    r_batch = pagerank(g_batch, max_iterations=3, epsilon=0.0)
+    by_url_s = {r["url"]: r["rank"] for r in r_stream.by_url(g_stream).collect()}
+    by_url_b = {r["url"]: r["rank"] for r in r_batch.by_url(g_batch).collect()}
+    assert by_url_s.keys() == by_url_b.keys()
+    for u in by_url_b:
+        assert by_url_s[u] == pytest.approx(by_url_b[u], abs=1e-12), u
+    g_stream.unpersist()
+    g_batch.unpersist()
