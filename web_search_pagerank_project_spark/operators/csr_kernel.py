@@ -126,7 +126,7 @@ from pyspark.sql.types import (
 from .blockmap import balanced_block_keys
 from .graph_build import GraphTables, dangling_vertices
 from .lineage import cut_lineage
-from .pagerank import IterationMetrics, PageRankResult
+from .pagerank import IterationMetrics, PageRankResult, mass_matched_x0
 
 _CSR_SCHEMA = StructType(
     [
@@ -366,6 +366,7 @@ def pagerank_csr(
     verbose: bool = False,
     blocks: DataFrame | None = None,
     iters_per_action: int = 1,
+    x0: DataFrame | None = None,
 ) -> PageRankResult:
     """Power method over per-partition CSR blocks; exact reference semantics.
 
@@ -378,6 +379,13 @@ def pagerank_csr(
     action (β chains JVM-side); numerics are unchanged but the ε-stop is
     only checked once per batch — use 1 (default) when exact reference
     iteration-count parity matters.
+
+    ``x0``: warm-start iterate (id, rank|x), e.g. the previous snapshot's
+    converged ranks after operators.incremental.update_graph. Runs through
+    the SAME mass-matched path as the DataFrame kernel
+    (operators.pagerank.mass_matched_x0), so the two kernels' warm starts
+    are numerically identical; missing ids (new urls) start at the cold
+    value. Ignored when THIS run's checkpointer has committed state.
     """
     spark = graph.edges.sparkSession
     n = graph.n
@@ -425,6 +433,19 @@ def pagerank_csr(
                 graph, v, k, bkey_arr,
                 x_df=ranks_df.withColumnRenamed("rank", "x"),
             )
+    if state is None and x0 is not None:
+        # mv = L1 mass of the L2-normalized teleport vector this run uses
+        if v is None:
+            mv = math.sqrt(float(n))
+        else:
+            vr = v.select(F.col("v").cast("double").alias("v"))
+            row_v = vr.agg(
+                F.sum("v").alias("s"),
+                F.sqrt(F.sum(F.col("v") * F.col("v"))).alias("nrm"),
+            ).collect()[0]
+            mv = float(row_v["s"]) / float(row_v["nrm"])
+        warm = mass_matched_x0(graph, x0, mv, float(alpha), x0_val)
+        state = _make_state(graph, v, k, bkey_arr, x_df=warm)
     if state is None:
         state = _make_state(graph, v, k, bkey_arr)
 

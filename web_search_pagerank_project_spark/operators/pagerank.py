@@ -80,6 +80,67 @@ class PageRankResult:
         )
 
 
+def mass_matched_x0(
+    graph: GraphTables,
+    x0: DataFrame,
+    mv: float,
+    alpha: float,
+    fill: float,
+) -> DataFrame:
+    """Dense warm-start iterate (id, x) from a previous snapshot's vector.
+
+    Vertices missing from ``x0`` (urls new in this snapshot) start at the
+    cold value ``fill``; the whole vector is then rescaled to the power
+    iteration's invariant L1 mass. The reference's cold init is
+    mass-matched by construction (uniform q: mass(x0) = mass(v) = sqrt(n)),
+    so its error has no component along the slowest mode — the mass
+    functional, which the affine map shrinks by exactly alpha per step. An
+    unscaled previous-snapshot vector carries an O(Δn) mass mismatch, and
+    without this correction that single slow mode dominates (measured on a
+    40→42-vertex update: 109 warm iterations to 30 cold; 29 with it).
+    Fixed-point mass m* = mv + alpha·δ*(mv−1)/(1−alpha) with mv = mass of
+    the L2-NORMALIZED teleport vector and δ* the dangling mass; estimating
+    δ* ≈ s·δ0 and solving for the scale s gives
+    s = mv / (m0 − alpha·δ0·(mv−1)/(1−alpha)).
+
+    Shared by both kernels (pagerank ``x0=`` and pagerank_csr ``x0=``), so
+    their warm paths are numerically identical.
+    """
+    xcol = "rank" if "rank" in x0.columns else "x"
+    x = graph.vertices.select("id").join(
+        x0.select("id", F.col(xcol).cast("double").alias("_x0")).hint(
+            "shuffle_hash"
+        ),
+        "id",
+        "left",
+    ).select(
+        "id",
+        F.coalesce(F.col("_x0"), F.lit(fill).cast("double")).alias("x"),
+    ).localCheckpoint(eager=False)
+    row0 = (
+        x.join(
+            dangling_vertices(graph)
+            .withColumn("_dang", F.lit(1))
+            .hint("shuffle_hash"),
+            "id",
+            "left",
+        )
+        .agg(
+            F.sum("x").alias("m0"),
+            F.coalesce(
+                F.sum(F.when(F.col("_dang") == 1, F.col("x"))), F.lit(0.0)
+            ).alias("d0"),
+        )
+        .collect()[0]
+    )
+    m0, d0 = float(row0["m0"]), float(row0["d0"])
+    denom = m0 - alpha * d0 * (mv - 1.0) / (1.0 - alpha)
+    if denom > 0 and math.isfinite(denom) and mv > 0:
+        s = mv / denom
+        x = x.select("id", (F.col("x") * F.lit(s)).alias("x"))
+    return x
+
+
 def _l2_normalize(df: DataFrame, col: str) -> DataFrame:
     norm_df = df.agg(F.sqrt(F.sum(F.col(col) * F.col(col))).alias("_norm"))
     return (
@@ -168,55 +229,10 @@ def pagerank(
             x, start_iter = resumed
             x = _pin(x)
     if x is None and x0 is not None:
-        xcol = "rank" if "rank" in x0.columns else "x"
-        x = _pin(
-            graph.vertices.select("id")
-            .join(
-                x0.select("id", F.col(xcol).cast("double").alias("_x0")).hint(
-                    "shuffle_hash"
-                ),
-                "id",
-                "left",
-            )
-            .select(
-                "id",
-                F.coalesce(
-                    F.col("_x0"), F.lit(1.0 / math.sqrt(n)).cast("double")
-                ).alias("x"),
-            )
-        )
-        # Rescale to the iteration's invariant L1 mass. The reference's cold
-        # init is mass-matched by construction (uniform q: mass(x0) =
-        # mass(v) = sqrt(n)), so its error has no component along the
-        # slowest mode — the mass functional, which the affine map shrinks
-        # by exactly alpha per step. A previous snapshot's vector padded
-        # onto an updated graph carries an O(Δn) mass mismatch, and without
-        # this correction that single slow mode dominates: measured on a
-        # 40→42-vertex update, warm took 109 iterations to cold's 30; with
-        # it, warm ≈ displacement-bounded (a handful). Fixed-point mass
-        # m* = mv + alpha*δ*(mv−1)/(1−alpha) with mv = mass(v) and δ* the
-        # dangling mass; estimating δ* ≈ s·δ0 and solving for the scale s
-        # gives s = mv / (m0 − alpha·δ0·(mv−1)/(1−alpha)).
+        # mass-matched warm start (see mass_matched_x0): mv = L1 mass of
+        # the L2-normalized teleport vector actually used this run
         mv = float(v_df.agg(F.sum("v")).collect()[0][0])
-        row0 = (
-            x.join(
-                dangling.withColumn("_dang", F.lit(1)).hint("shuffle_hash"),
-                "id",
-                "left",
-            )
-            .agg(
-                F.sum("x").alias("m0"),
-                F.coalesce(
-                    F.sum(F.when(F.col("_dang") == 1, F.col("x"))), F.lit(0.0)
-                ).alias("d0"),
-            )
-            .collect()[0]
-        )
-        m0, d0 = float(row0["m0"]), float(row0["d0"])
-        denom = m0 - alpha * d0 * (mv - 1.0) / (1.0 - alpha)
-        if denom > 0 and math.isfinite(denom) and mv > 0:
-            s = mv / denom
-            x = _pin(x.select("id", (F.col("x") * F.lit(s)).alias("x")))
+        x = _pin(mass_matched_x0(graph, x0, mv, alpha, 1.0 / math.sqrt(n)))
     if x is None:
         x = _pin(
             graph.vertices.select(
