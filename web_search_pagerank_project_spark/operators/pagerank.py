@@ -117,18 +117,24 @@ def mass_matched_x0(
         "id",
         F.coalesce(F.col("_x0"), F.lit(fill).cast("double")).alias("x"),
     ).localCheckpoint(eager=False)
+    # dangling probe built from the EDGE table with a freshly-aliased id:
+    # x's checkpoint inherits graph.vertices' attribute ids, so joining it
+    # against dangling_vertices(graph) (also vertices-derived) makes both
+    # join children expose the same exprIds — Spark's self-join dedup then
+    # dies with INTERNAL_ERROR "conflicting references" under the
+    # ResolvedHint (hit in the bench's incremental section). has-out-edge
+    # is the complement of dangling, so d0 = Σx over null-probe rows.
+    has_out = graph.edges.select(F.col("src_id").alias("id")).distinct()
     row0 = (
         x.join(
-            dangling_vertices(graph)
-            .withColumn("_dang", F.lit(1))
-            .hint("shuffle_hash"),
+            has_out.withColumn("_out", F.lit(1)).hint("shuffle_hash"),
             "id",
             "left",
         )
         .agg(
             F.sum("x").alias("m0"),
             F.coalesce(
-                F.sum(F.when(F.col("_dang") == 1, F.col("x"))), F.lit(0.0)
+                F.sum(F.when(F.col("_out").isNull(), F.col("x"))), F.lit(0.0)
             ).alias("d0"),
         )
         .collect()[0]
