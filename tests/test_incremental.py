@@ -203,3 +203,19 @@ def test_warm_start_kernel_parity_csr_vs_dataframe(spark):
     assert warm_csr.residuals[0] < 0.6 * cold_csr.residuals[0]
     for g in (g0, g1):
         g.unpersist()
+
+
+def test_update_with_empty_and_fully_dropped_delta(spark):
+    """Degenerate deltas: an empty delta and one whose every row hits the
+    drop regex must both return a graph identical to the base (same n, same
+    weights, mult preserved so updates still chain)."""
+    g0 = build(spark, BASE, keep_mult=True)
+    w0 = weights_by_url(spark, g0)
+    for delta in ([], [("a/", "b"), ("c", "d/e/f")]):
+        df = spark.createDataFrame(delta, "src string, dst string")
+        g1 = update_graph(g0, df)
+        assert g1.n == g0.n
+        assert "mult" in g1.edges.columns
+        assert weights_by_url(spark, g1) == w0
+        g1.unpersist()
+    g0.unpersist()
