@@ -269,6 +269,7 @@ def run_benchmarks(spark):
         timed_gop(
             "bfs",
             lambda: bfs_distances(graph, seed_ids=[0]).count(),
+            n=min(2, repeats),
         )
         timed_gop("clustering_coeff", lambda: clustering_coefficient(graph).count())
         timed_gop("reciprocity", lambda: reciprocity(graph))
@@ -280,6 +281,7 @@ def run_benchmarks(spark):
             lambda: common_neighbors_topk(
                 graph, k=20, max_center_degree=64
             ).count(),
+            n=min(2, repeats),
         )
         # min-of-2 for the heavy iterative ops (VERDICT r4 item 8): n=1
         # walls were un-cross-checkable against host noise; two runs bound
@@ -324,13 +326,17 @@ def run_benchmarks(spark):
         )
         # round-5: HyperBall-derived approximate harmonic+closeness — the
         # scale path that replaces all-sources exact MS-BFS (same loop
-        # shape as hyperball_nf plus the two accumulator columns)
+        # shape as hyperball_nf plus the two accumulator columns). n=1:
+        # at ~50 s to its fixed point this is the single costliest detail
+        # op, and doubling it pushed the whole bench process toward
+        # driver-timeout territory (477 s observed); its loop shape is
+        # cross-checked by hyperball_nf's min-of-2 wall.
         from web_search_pagerank_project_spark import hyperball_centralities
 
         timed_gop(
             "hyperball_centralities",
             lambda: hyperball_centralities(graph, m=16).count(),
-            n=min(2, repeats),
+            n=1,
         )
         host_urls = raw_edges.select(
             _F.concat(
