@@ -1278,6 +1278,35 @@ def q_neighborhood_function(spark: SparkSession, sf_dir: str) -> DataFrame:
     return nf.select("t", F.round("nf", 6).alias("nf")).orderBy("t")
 
 
+def q_pagerank_batch_3iter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X24: batched multi-personalization PageRank (operators/ppr_batch.py)
+    — K rankings share ONE edge scan per round (topic-sensitive PageRank /
+    TrustRank shape; the reference runs one personalization per process,
+    ws_pagerank.py:115-139). Uniform + a topic vector in one batch; the
+    oracle joins two independent unrolled power methods, so each batch
+    column is hash-checked against its lone-run semantics."""
+    from web_search_pagerank_project_spark import (
+        build_graph,
+        make_personalization_vector,
+        pagerank_batch,
+    )
+
+    graph = build_graph(_edges(spark, sf_dir), cache=True)
+    pv = make_personalization_vector(graph, "n1")
+    res = pagerank_batch(
+        graph, {"uniform": None, "topic": pv}, max_iterations=3, epsilon=0.0
+    )
+    return (
+        res.by_url(graph)
+        .select(
+            "url",
+            F.round("rank_uniform", 6).alias("score_uniform"),
+            F.round("rank_topic", 6).alias("score_topic"),
+        )
+        .orderBy("url")
+    )
+
+
 def q_hyperball_centralities(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X22: HyperBall-derived approximate harmonic + closeness centrality
     (operators/anf.py::hyperball_centralities; Boldi-Vigna 2013 §3) — the
@@ -1428,6 +1457,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_pagerank_weighted_3iter": q_host_pagerank_weighted_3iter,
         "neighborhood_function": q_neighborhood_function,
         "hyperball_centralities": q_hyperball_centralities,
+        "pagerank_batch_3iter": q_pagerank_batch_3iter,
         "incremental_edge_weights": q_incremental_edge_weights,
         "incremental_pagerank_3iter": q_incremental_pagerank_3iter,
         "stratified_sample": q_stratified_sample,
@@ -1489,6 +1519,16 @@ def oracle_sql() -> dict[str, str]:
         ORDER BY url
         """,
         "pagerank_3iter": _pr_oracle_sql("1.0"),
+        # batched kernel: each column must equal an INDEPENDENT unrolled
+        # power method — the oracle joins the uniform and topic lone-run
+        # oracles on url (DuckDB allows CTEs inside subqueries)
+        "pagerank_batch_3iter": f"""
+        SELECT a.url AS url, a.score AS score_uniform, b.score AS score_topic
+        FROM ({_pr_oracle_sql("1.0")}) a
+        JOIN ({_pr_oracle_sql("CASE WHEN url LIKE '%n1%' THEN 1.0 ELSE 0.0 END")}) b
+          ON a.url = b.url
+        ORDER BY url
+        """,
         # incremental maintenance: the oracle is the ONE-SHOT full build —
         # update_graph(base, delta) must reproduce it bit-for-bit in
         # (url, url, weight) space (same integer mult / integer outdeg)

@@ -392,6 +392,34 @@ def run_benchmarks(spark):
             iters_per_action=inc_ipa,
         )
         cold_w = time.monotonic() - t0
+        # round-5: batched multi-personalization PageRank — 8 topic
+        # vectors through ONE edge scan per round; compare its wall to
+        # 8x the single-vector headline wall (timings["pagerank"]) to see
+        # the shared-scan win
+        from web_search_pagerank_project_spark import pagerank_batch
+
+        topic_vs = {
+            f"t{i}": graph.vertices.select(
+                "id",
+                _F.when(
+                    _F.pmod(_F.xxhash64("id"), _F.lit(8)) == i, 1.0
+                )
+                .otherwise(0.0)
+                .alias("v"),
+            )
+            for i in range(8)
+        }
+        t0 = time.monotonic()
+        bres = pagerank_batch(
+            graph, topic_vs, max_iterations=PR_MAX_ITERS, epsilon=1e-6
+        )
+        bres.ranks.count()
+        detail["pagerank_batch8"] = {
+            "wall": round(time.monotonic() - t0, 3),
+            "iters": bres.iterations,
+            "vs_8x_single_wall": round(8 * timings["pagerank"], 3),
+        }
+
         detail["incremental"] = {
             "delta_pct": 1,
             "epsilon": inc_eps,

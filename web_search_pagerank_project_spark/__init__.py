@@ -15,6 +15,7 @@ from .session import get_spark
 from .sources.edges import read_edge_csv, read_edge_parquet, edges_from_dataframe
 from .operators.graph_build import GraphTables, build_graph
 from .operators.incremental import update_graph
+from .operators.ppr_batch import pagerank_batch, BatchPageRankResult
 from .operators.pagerank import pagerank, PageRankResult
 from .operators.csr_kernel import pagerank_csr, build_csr_blocks
 from .operators.components import (
@@ -54,6 +55,8 @@ __all__ = [
     "GraphTables",
     "build_graph",
     "update_graph",
+    "pagerank_batch",
+    "BatchPageRankResult",
     "pagerank",
     "pagerank_csr",
     "build_csr_blocks",
