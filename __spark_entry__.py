@@ -1278,6 +1278,24 @@ def q_neighborhood_function(spark: SparkSession, sf_dir: str) -> DataFrame:
     return nf.select("t", F.round("nf", 6).alias("nf")).orderBy("t")
 
 
+def q_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X25: deterministic weighted random-walk sampling (operators/
+    walks.py — DeepWalk corpus generation over the link graph; the draw is
+    a pure-integer LCG over (walk_id, step) and the transition kernel is
+    the engine's mult/outdeg weights, so the oracle replays every step
+    exactly with a recursive CTE over the same cumulative intervals)."""
+    from web_search_pagerank_project_spark import build_graph
+    from web_search_pagerank_project_spark.operators.walks import random_walks
+
+    graph = build_graph(_edges(spark, sf_dir), cache=True)
+    w = random_walks(graph, walk_length=4, walks_per_vertex=1)
+    return (
+        w.join(graph.vertices, "id")
+        .select("walk_id", "step", "url")
+        .orderBy("walk_id", "step")
+    )
+
+
 def q_pagerank_batch_3iter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X24: batched multi-personalization PageRank (operators/ppr_batch.py)
     — K rankings share ONE edge scan per round (topic-sensitive PageRank /
@@ -1458,6 +1476,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neighborhood_function": q_neighborhood_function,
         "hyperball_centralities": q_hyperball_centralities,
         "pagerank_batch_3iter": q_pagerank_batch_3iter,
+        "random_walks": q_random_walks,
         "incremental_edge_weights": q_incremental_edge_weights,
         "incremental_pagerank_3iter": q_incremental_pagerank_3iter,
         "stratified_sample": q_stratified_sample,
@@ -1528,6 +1547,64 @@ def oracle_sql() -> dict[str, str]:
         JOIN ({_pr_oracle_sql("CASE WHEN url LIKE '%n1%' THEN 1.0 ELSE 0.0 END")}) b
           ON a.url = b.url
         ORDER BY url
+        """,
+        # exact replay of random_walks (operators/walks.py): cumulative
+        # intervals per source in dst_id order (last hi widened to 2.0),
+        # pure-integer LCG draw per (walk_id, step), recursive step join.
+        # walk_id = vertex id (walks_per_vertex=1); output is integral +
+        # urls, so there is no float in the compared columns at all.
+        "random_walks": f"""
+        WITH RECURSIVE e AS ({_EDGES_SQL}),
+        verts AS (
+            SELECT DISTINCT url FROM (
+                SELECT src AS url FROM e UNION ALL SELECT dst AS url FROM e
+            )
+        ),
+        iu AS (
+            SELECT url, ROW_NUMBER() OVER (ORDER BY url) - 1 AS id FROM verts
+        ),
+        wmult AS (
+            SELECT src, dst, CAST(COUNT(*) AS DOUBLE) AS m FROM e GROUP BY src, dst
+        ),
+        wout AS (SELECT src, SUM(m) AS od FROM wmult GROUP BY src),
+        wpw AS (
+            SELECT wmult.src, wmult.dst, wmult.m / wout.od AS weight
+            FROM wmult JOIN wout ON wmult.src = wout.src
+        ),
+        wpe AS (
+            SELECT s.id AS src_id, d.id AS dst_id, wpw.weight
+            FROM wpw JOIN iu s ON wpw.src = s.url JOIN iu d ON wpw.dst = d.url
+        ),
+        wcum AS (
+            SELECT src_id, dst_id,
+                   SUM(weight) OVER (PARTITION BY src_id ORDER BY dst_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     - weight AS lo,
+                   CASE WHEN ROW_NUMBER() OVER (PARTITION BY src_id
+                                                ORDER BY dst_id DESC) = 1
+                        THEN 2.0
+                        ELSE SUM(weight) OVER (PARTITION BY src_id
+                            ORDER BY dst_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   END AS hi
+            FROM wpe
+        ),
+        wk(walk_id, step, id) AS (
+            SELECT id, 0, id FROM iu
+            UNION ALL
+            SELECT w.walk_id, w.step + 1, c.dst_id
+            FROM wk w JOIN wcum c ON w.id = c.src_id
+            WHERE w.step < 4
+              AND c.lo <= (((w.walk_id % 2147483648) * 1103515245 + 12345
+                            + (w.step + 1) * 2654435761) % 2147483648)
+                          / 2147483648.0
+              AND (((w.walk_id % 2147483648) * 1103515245 + 12345
+                    + (w.step + 1) * 2654435761) % 2147483648)
+                  / 2147483648.0 < c.hi
+        )
+        SELECT w.walk_id, CAST(w.step AS INTEGER) AS step, iu.url
+        FROM wk w JOIN iu ON w.id = iu.id
+        ORDER BY w.walk_id, w.step
         """,
         # incremental maintenance: the oracle is the ONE-SHOT full build —
         # update_graph(base, delta) must reproduce it bit-for-bit in

@@ -145,3 +145,103 @@ def test_exact_harmonic_all_sources_warns(spark):
         if v > 0:
             assert got[k] == pytest.approx(v, rel=1e-12), k
     graph.unpersist()
+
+
+# ---- deterministic random walks (operators/walks.py) ----
+
+from web_search_pagerank_project_spark.operators.walks import random_walks
+
+_WLCG_A, _WLCG_C, _WLCG_M = 1103515245, 12345, 1 << 31
+_WSTEP_MIX = 2654435761
+
+
+def _walk_oracle(graph_edges, ids_by_url, walk_length, walks_per_vertex):
+    """Pure-python replay: cumulative intervals in dst order (last hi=2.0),
+    LCG draw per (walk_id, step)."""
+    from collections import defaultdict
+
+    outs = defaultdict(list)  # src_id -> [(dst_id, weight)] in dst order
+    for (s, d), w in sorted(graph_edges.items()):
+        outs[s].append((d, w))
+    cum = {}
+    for s, lst in outs.items():
+        acc, iv = 0.0, []
+        for i, (d, w) in enumerate(lst):
+            lo = acc
+            acc = acc + w
+            hi = 2.0 if i == len(lst) - 1 else acc
+            iv.append((d, lo, hi))
+        cum[s] = iv
+    rows = set()
+    for v in ids_by_url.values():
+        for j in range(walks_per_vertex):
+            wid = v * walks_per_vertex + j
+            rows.add((wid, 0, v))
+            cur = v
+            for step in range(1, walk_length + 1):
+                if cur not in cum:
+                    break
+                r = ((wid % _WLCG_M) * _WLCG_A + _WLCG_C + step * _WSTEP_MIX) % _WLCG_M
+                r = r / float(_WLCG_M)
+                nxt = None
+                for d, lo, hi in cum[cur]:
+                    if lo <= r < hi:
+                        nxt = d
+                        break
+                assert nxt is not None, (cur, r)
+                rows.add((wid, step, nxt))
+                cur = nxt
+    return rows
+
+
+@pytest.mark.parametrize("rows_seed", ["small", 21])
+def test_random_walks_exact_replay(spark, rows_seed):
+    rows = SMALL_EDGES if rows_seed == "small" else rand_rows(rows_seed, n=25, m=60)
+    graph = build(spark, rows)
+    ids = {r["url"]: r["id"] for r in graph.vertices.collect()}
+    edges = {
+        (r["src_id"], r["dst_id"]): r["weight"] for r in graph.edges.collect()
+    }
+    got = {
+        (r["walk_id"], r["step"], r["id"])
+        for r in random_walks(graph, walk_length=5, walks_per_vertex=2).collect()
+    }
+    exp = _walk_oracle(edges, ids, walk_length=5, walks_per_vertex=2)
+    assert got == exp
+    graph.unpersist()
+
+
+def test_random_walks_terminate_at_dangling(spark):
+    # a -> b -> c, c dangling: every walk is exactly [start..c] prefix
+    graph = build(spark, [("a", "b"), ("b", "c")])
+    ids = {r["url"]: r["id"] for r in graph.vertices.collect()}
+    got = sorted(
+        (r["walk_id"], r["step"], r["id"])
+        for r in random_walks(graph, walk_length=10).collect()
+    )
+    a, b, c = ids["a"], ids["b"], ids["c"]
+    exp = sorted(
+        [
+            (a, 0, a), (a, 1, b), (a, 2, c),
+            (b, 0, b), (b, 1, c),
+            (c, 0, c),
+        ]
+    )
+    assert got == exp
+    graph.unpersist()
+
+
+def test_random_walks_validation_and_start_subset(spark):
+    from pyspark.sql import functions as SF
+
+    graph = build(spark, SMALL_EDGES)
+    with pytest.raises(ValueError):
+        random_walks(graph, walk_length=-1)
+    with pytest.raises(ValueError):
+        random_walks(graph, walk_length=1, walks_per_vertex=0)
+    one = graph.vertices.orderBy("id").limit(1).select("id")
+    out = random_walks(graph, walk_length=3, start_vertices=one).collect()
+    wids = {r["walk_id"] for r in out}
+    assert len(wids) == 1
+    assert {r["step"] for r in out} <= {0, 1, 2, 3}
+    graph.unpersist()

@@ -16,6 +16,7 @@ from .sources.edges import read_edge_csv, read_edge_parquet, edges_from_datafram
 from .operators.graph_build import GraphTables, build_graph
 from .operators.incremental import update_graph
 from .operators.ppr_batch import pagerank_batch, BatchPageRankResult
+from .operators.walks import random_walks
 from .operators.pagerank import pagerank, PageRankResult
 from .operators.csr_kernel import pagerank_csr, build_csr_blocks
 from .operators.components import (
@@ -57,6 +58,7 @@ __all__ = [
     "update_graph",
     "pagerank_batch",
     "BatchPageRankResult",
+    "random_walks",
     "pagerank",
     "pagerank_csr",
     "build_csr_blocks",
