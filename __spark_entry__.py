@@ -84,6 +84,63 @@ _HOST_EDGES_SQL = f"""
 _HOST_GRAPH_SQL_PREFIX = _graph_prefix(_HOST_EDGES_SQL)
 
 
+# shared CTE for the random-walk oracles: cumulative per-source intervals
+# (last hi widened to 2.0 against Σ-of-rounded-weights), pure-integer LCG
+# draw per (walk_id, step), recursive step join — replays operators/walks.py
+# exactly; wk(walk_id, step, id) is the full walk corpus (length 4,
+# walks_per_vertex=1 => walk_id = vertex id)
+_WALKS_ORACLE_CTE = f"""
+        WITH RECURSIVE e AS ({_EDGES_SQL}),
+        verts AS (
+            SELECT DISTINCT url FROM (
+                SELECT src AS url FROM e UNION ALL SELECT dst AS url FROM e
+            )
+        ),
+        iu AS (
+            SELECT url, ROW_NUMBER() OVER (ORDER BY url) - 1 AS id FROM verts
+        ),
+        wmult AS (
+            SELECT src, dst, CAST(COUNT(*) AS DOUBLE) AS m FROM e GROUP BY src, dst
+        ),
+        wout AS (SELECT src, SUM(m) AS od FROM wmult GROUP BY src),
+        wpw AS (
+            SELECT wmult.src, wmult.dst, wmult.m / wout.od AS weight
+            FROM wmult JOIN wout ON wmult.src = wout.src
+        ),
+        wpe AS (
+            SELECT s.id AS src_id, d.id AS dst_id, wpw.weight
+            FROM wpw JOIN iu s ON wpw.src = s.url JOIN iu d ON wpw.dst = d.url
+        ),
+        wcum AS (
+            SELECT src_id, dst_id,
+                   SUM(weight) OVER (PARTITION BY src_id ORDER BY dst_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     - weight AS lo,
+                   CASE WHEN ROW_NUMBER() OVER (PARTITION BY src_id
+                                                ORDER BY dst_id DESC) = 1
+                        THEN 2.0
+                        ELSE SUM(weight) OVER (PARTITION BY src_id
+                            ORDER BY dst_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   END AS hi
+            FROM wpe
+        ),
+        wk(walk_id, step, id) AS (
+            SELECT id, 0, id FROM iu
+            UNION ALL
+            SELECT w.walk_id, w.step + 1, c.dst_id
+            FROM wk w JOIN wcum c ON w.id = c.src_id
+            WHERE w.step < 4
+              AND c.lo <= (((w.walk_id % 2147483648) * 1103515245 + 12345
+                            + (w.step + 1) * 2654435761) % 2147483648)
+                          / 2147483648.0
+              AND (((w.walk_id % 2147483648) * 1103515245 + 12345
+                    + (w.step + 1) * 2654435761) % 2147483648)
+                  / 2147483648.0 < c.hi
+        )
+"""
+
+
 # weighted-edge variant of _graph_prefix: the edge SQL yields (src, dst, w)
 # and a pair's multiplicity is SUM(w) instead of COUNT(*) — the SQL mirror
 # of build_graph(weight_col=...)
@@ -1296,6 +1353,35 @@ def q_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_skipgram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X25b: skip-gram co-occurrence pairs over the sampled walk corpus
+    (operators/walks.py::skipgram_pairs) — word2vec training pairs with
+    walks as sentences. Oracle: the walks CTE self-joined within the
+    window, aggregated to multiplicities."""
+    from web_search_pagerank_project_spark import build_graph
+    from web_search_pagerank_project_spark.operators.walks import (
+        random_walks,
+        skipgram_pairs,
+    )
+
+    graph = build_graph(_edges(spark, sf_dir), cache=True)
+    w = random_walks(graph, walk_length=4, walks_per_vertex=1)
+    v = graph.vertices
+    return (
+        skipgram_pairs(w, window=2)
+        .join(v.withColumnRenamed("url", "center_url"), F.col("center") == v.id)
+        .drop("id")
+        .join(
+            v.withColumnRenamed("url", "context_url").withColumnRenamed(
+                "id", "id2"
+            ),
+            F.col("context") == F.col("id2"),
+        )
+        .select("center_url", "context_url", "pairs")
+        .orderBy("center_url", "context_url")
+    )
+
+
 def q_pagerank_batch_3iter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X24: batched multi-personalization PageRank (operators/ppr_batch.py)
     — K rankings share ONE edge scan per round (topic-sensitive PageRank /
@@ -1477,6 +1563,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hyperball_centralities": q_hyperball_centralities,
         "pagerank_batch_3iter": q_pagerank_batch_3iter,
         "random_walks": q_random_walks,
+        "skipgram_pairs": q_skipgram_pairs,
         "incremental_edge_weights": q_incremental_edge_weights,
         "incremental_pagerank_3iter": q_incremental_pagerank_3iter,
         "stratified_sample": q_stratified_sample,
@@ -1553,58 +1640,26 @@ def oracle_sql() -> dict[str, str]:
         # pure-integer LCG draw per (walk_id, step), recursive step join.
         # walk_id = vertex id (walks_per_vertex=1); output is integral +
         # urls, so there is no float in the compared columns at all.
-        "random_walks": f"""
-        WITH RECURSIVE e AS ({_EDGES_SQL}),
-        verts AS (
-            SELECT DISTINCT url FROM (
-                SELECT src AS url FROM e UNION ALL SELECT dst AS url FROM e
-            )
-        ),
-        iu AS (
-            SELECT url, ROW_NUMBER() OVER (ORDER BY url) - 1 AS id FROM verts
-        ),
-        wmult AS (
-            SELECT src, dst, CAST(COUNT(*) AS DOUBLE) AS m FROM e GROUP BY src, dst
-        ),
-        wout AS (SELECT src, SUM(m) AS od FROM wmult GROUP BY src),
-        wpw AS (
-            SELECT wmult.src, wmult.dst, wmult.m / wout.od AS weight
-            FROM wmult JOIN wout ON wmult.src = wout.src
-        ),
-        wpe AS (
-            SELECT s.id AS src_id, d.id AS dst_id, wpw.weight
-            FROM wpw JOIN iu s ON wpw.src = s.url JOIN iu d ON wpw.dst = d.url
-        ),
-        wcum AS (
-            SELECT src_id, dst_id,
-                   SUM(weight) OVER (PARTITION BY src_id ORDER BY dst_id
-                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                     - weight AS lo,
-                   CASE WHEN ROW_NUMBER() OVER (PARTITION BY src_id
-                                                ORDER BY dst_id DESC) = 1
-                        THEN 2.0
-                        ELSE SUM(weight) OVER (PARTITION BY src_id
-                            ORDER BY dst_id
-                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                   END AS hi
-            FROM wpe
-        ),
-        wk(walk_id, step, id) AS (
-            SELECT id, 0, id FROM iu
-            UNION ALL
-            SELECT w.walk_id, w.step + 1, c.dst_id
-            FROM wk w JOIN wcum c ON w.id = c.src_id
-            WHERE w.step < 4
-              AND c.lo <= (((w.walk_id % 2147483648) * 1103515245 + 12345
-                            + (w.step + 1) * 2654435761) % 2147483648)
-                          / 2147483648.0
-              AND (((w.walk_id % 2147483648) * 1103515245 + 12345
-                    + (w.step + 1) * 2654435761) % 2147483648)
-                  / 2147483648.0 < c.hi
-        )
+        "random_walks": _WALKS_ORACLE_CTE
+        + """
         SELECT w.walk_id, CAST(w.step AS INTEGER) AS step, iu.url
         FROM wk w JOIN iu ON w.id = iu.id
         ORDER BY w.walk_id, w.step
+        """,
+        # the walk corpus self-joined within the skip-gram window,
+        # aggregated to pair multiplicities (walks.py::skipgram_pairs)
+        "skipgram_pairs": _WALKS_ORACLE_CTE
+        + """
+        SELECT cu.url AS center_url, xu.url AS context_url,
+               COUNT(*) AS pairs
+        FROM wk a JOIN wk b
+          ON a.walk_id = b.walk_id
+         AND a.step <> b.step
+         AND ABS(a.step - b.step) <= 2
+        JOIN iu cu ON a.id = cu.id
+        JOIN iu xu ON b.id = xu.id
+        GROUP BY cu.url, xu.url
+        ORDER BY center_url, context_url
         """,
         # incremental maintenance: the oracle is the ONE-SHOT full build —
         # update_graph(base, delta) must reproduce it bit-for-bit in

@@ -245,3 +245,31 @@ def test_random_walks_validation_and_start_subset(spark):
     assert len(wids) == 1
     assert {r["step"] for r in out} <= {0, 1, 2, 3}
     graph.unpersist()
+
+
+def test_skipgram_pairs_window_semantics(spark):
+    """skipgram_pairs == hand-counted window pairs over the walk corpus."""
+    from collections import Counter
+
+    from web_search_pagerank_project_spark.operators.walks import skipgram_pairs
+
+    graph = build(spark, SMALL_EDGES)
+    w = random_walks(graph, walk_length=4, walks_per_vertex=2)
+    walks_rows = w.collect()
+    by_walk = {}
+    for r in walks_rows:
+        by_walk.setdefault(r["walk_id"], {})[r["step"]] = r["id"]
+    exp = Counter()
+    for steps in by_walk.values():
+        for sa, va in steps.items():
+            for sb, vb in steps.items():
+                if sa != sb and abs(sa - sb) <= 2:
+                    exp[(va, vb)] += 1
+    got = {
+        (r["center"], r["context"]): r["pairs"]
+        for r in skipgram_pairs(w, window=2).collect()
+    }
+    assert got == dict(exp)
+    with pytest.raises(ValueError):
+        skipgram_pairs(w, window=0)
+    graph.unpersist()

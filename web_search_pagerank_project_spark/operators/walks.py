@@ -40,7 +40,7 @@ from pyspark.sql import functions as F
 from .graph_build import GraphTables
 from .lineage import cut_lineage
 
-__all__ = ["random_walks", "walk_rand"]
+__all__ = ["random_walks", "walk_rand", "skipgram_pairs"]
 
 _LCG_A, _LCG_C, _LCG_M = 1103515245, 12345, 1 << 31
 _STEP_MIX = 2654435761  # Knuth multiplicative-hash constant
@@ -145,3 +145,37 @@ def random_walks(
     result.count()
     cum.unpersist()
     return result
+
+
+def skipgram_pairs(walks: DataFrame, window: int = 2) -> DataFrame:
+    """(center long, context long, pairs long): skip-gram co-occurrence
+    counts over a ``random_walks`` output — word2vec's training pairs with
+    walks as sentences (DeepWalk §4.2). A pair is counted once per ordered
+    (center position, context position) co-occurrence with
+    0 < |Δstep| <= window, exactly the skip-gram window semantics.
+
+    One self-equi-join on walk_id (map-side fan-out bounded by
+    2·window + 1 positions per row) + one map-side-combined count
+    aggregate; at corpus scale the output is the dense training set a
+    skip-gram trainer consumes, already aggregated to multiplicities.
+    """
+    if window < 1:
+        raise ValueError("window must be >= 1")
+    a = walks.select(
+        "walk_id", F.col("step").alias("s_a"), F.col("id").alias("center")
+    )
+    b = walks.select(
+        F.col("walk_id").alias("walk_id_b"),
+        F.col("step").alias("s_b"),
+        F.col("id").alias("context"),
+    )
+    return (
+        a.join(
+            b,
+            (a.walk_id == b.walk_id_b)
+            & (F.abs(F.col("s_a") - F.col("s_b")) <= window)
+            & (F.col("s_a") != F.col("s_b")),
+        )
+        .groupBy("center", "context")
+        .agg(F.count("*").alias("pairs"))
+    )
